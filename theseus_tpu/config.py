@@ -1,0 +1,86 @@
+"""Global numeric configuration for theseus_tpu.
+
+Per-dtype epsilon tables controlling Taylor-branch switching in Lie-group ops,
+mirroring the behavior of the reference's per-dtype registries
+(reference: theseus/global_params.py:24, torchlie/torchlie/global_params.py:20)
+but redesigned as a plain immutable-by-convention dict keyed by canonical dtype
+name, safe to read at trace time (values are Python floats, never traced).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dt(dtype) -> str:
+    return np.dtype(dtype).name
+
+
+# Branch-switch thresholds. Values follow the reference tables
+# (torchlie/torchlie/global_params.py:36-63): near-zero theta thresholds for
+# exp/log Taylor branches, wider thresholds for derivative branches, and
+# near-pi thresholds for the SO3 log antipodal branch.
+_DEFAULTS: Dict[str, float] = {
+    # SO3/SE3 exp near-zero (theta small)
+    "so3_near_zero_eps_float32": 1e-2,
+    "so3_near_zero_eps_float64": 5e-3,
+    # SO3/SE3 log near-pi (1 + cos(theta) small)
+    "so3_near_pi_eps_float32": 1e-2,
+    "so3_near_pi_eps_float64": 1e-7,
+    # wider derivative branch eps (jlog coefficients)
+    "so3_d_near_zero_eps_float32": 2e-1,
+    "so3_d_near_zero_eps_float64": 1e-2,
+    # SO3 matrix orthonormality check tolerance
+    "so3_matrix_eps_float32": 4e-4,
+    "so3_matrix_eps_float64": 1e-6,
+    "so3_quat_eps_float32": 2e-4,
+    "so3_quat_eps_float64": 5e-7,
+    "so3_hat_eps_float32": 5e-6,
+    "so3_hat_eps_float64": 5e-7,
+    "se3_hat_eps_float32": 5e-6,
+    "se3_hat_eps_float64": 5e-7,
+    # SO2/SE2 near-zero
+    "se2_near_zero_eps_float32": 3e-2,
+    "se2_near_zero_eps_float64": 1e-6,
+    "se2_d_near_zero_eps_float32": 1e-1,
+    "se2_d_near_zero_eps_float64": 1e-3,
+}
+
+
+@dataclasses.dataclass
+class GlobalParams:
+    """Mutable global parameter registry (set once at program start)."""
+
+    _values: Dict[str, float] = dataclasses.field(
+        default_factory=lambda: dict(_DEFAULTS)
+    )
+
+    def get(self, key: str, dtype) -> float:
+        return self._values[f"{key}_{_dt(dtype)}"]
+
+    def set(self, **kwargs: float) -> None:
+        for k, v in kwargs.items():
+            if k not in self._values:
+                raise ValueError(f"Unknown global param {k}")
+            self._values[k] = v
+
+
+GLOBAL_PARAMS = GlobalParams()
+
+
+def set_global_params(**kwargs: float) -> None:
+    """Public setter (reference: theseus/global_params.py:66)."""
+    GLOBAL_PARAMS.set(**kwargs)
+
+
+def get_eps(namespace: str, name: str, dtype) -> float:
+    """Fetch eps e.g. get_eps("so3", "near_zero", x.dtype)."""
+    return GLOBAL_PARAMS.get(f"{namespace}_{name}_eps", dtype)
+
+
+def default_float() -> jnp.dtype:
+    return jnp.zeros(0).dtype

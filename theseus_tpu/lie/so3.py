@@ -1,0 +1,318 @@
+"""Functional SO(3) ops on 3x3 rotation matrices with analytic jacobians.
+
+TPU-native re-design of the reference's SO3 functional layer
+(torchlie/torchlie/functional/so3_impl.py): same data layout (3x3 matrix),
+same tangent convention (right perturbation: R * exp(hat(delta))), same
+Taylor-branch numerics (exp near-zero Pade approximation
+so3_impl.py:220-263; log near-zero / near-pi branches so3_impl.py:390-434;
+jlog coefficients so3_impl.py:442-480), but implemented as pure jnp functions
+with `jax.custom_jvp` replacing the reference's custom torch.autograd.Function
++ generate_vmap_rule machinery — in JAX, custom_jvp composes with vmap/jacfwd/
+jacrev/jit for free.
+
+All ops broadcast over arbitrary leading batch dims.
+Jacobian convention: for op f, J satisfies f(x @ exp(hat(d)))) ~= f(x) +/-
+right-tangent-perturbed output with d mapped through J (reference:
+SURVEY.md Appendix A).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import get_eps
+from .utils import antisym_project, mvp, nz, outer, so3_hat, so3_vee, transpose
+
+DOF = 3
+SHAPE = (3, 3)
+NAME = "SO3"
+
+hat = so3_hat
+vee = so3_vee
+lift = so3_hat
+
+
+def project(m):
+    """Adjoint of lift: full antisymmetric differences (no 0.5 factor),
+    matching reference _project_impl (so3_impl.py:977)."""
+    return 2.0 * antisym_project(m)
+
+
+def _exp_helper(w):
+    theta2 = jnp.sum(w * w, axis=-1)
+    theta = jnp.sqrt(theta2)
+    near_zero = theta < get_eps("so3", "near_zero", w.dtype)
+    theta_nz = nz(theta, near_zero)
+    theta2_nz = nz(theta2, near_zero)
+
+    # Pade near zero: cos t ~ 8/(4+t^2) - 1 (reference so3_impl.py:228)
+    cosine = jnp.where(near_zero, 8.0 / (4.0 + theta2) - 1.0, jnp.cos(theta))
+    sine = jnp.sin(theta)
+    sine_by_theta = jnp.where(near_zero, 0.5 * cosine + 0.5, sine / theta_nz)
+    one_minus_cosine_by_theta2 = jnp.where(
+        near_zero, 0.5 * sine_by_theta, (1.0 - cosine) / theta2_nz
+    )
+
+    ret = one_minus_cosine_by_theta2[..., None, None] * outer(w, w)
+    ret = ret + cosine[..., None, None] * jnp.eye(3, dtype=w.dtype)
+    ret = ret + sine_by_theta[..., None, None] * hat(w)
+    return ret, (theta, theta2, sine, cosine, sine_by_theta, one_minus_cosine_by_theta2)
+
+
+def jexp(w):
+    """Right Jacobian of exp and the exp itself: returns ([J], R).
+
+    J_r = sin(t)/t I - (1-cos t)/t^2 hat(w) + (t - sin t)/t^3 w w^T
+    (reference so3_impl.py:270-288)."""
+    ret, (theta, theta2, sine, _, sbt, omc) = _exp_helper(w)
+    near_zero = theta < get_eps("so3", "near_zero", w.dtype)
+    theta3_nz = nz(theta * theta2, near_zero)
+    t_m_sine_by_t3 = jnp.where(
+        near_zero, jnp.zeros_like(theta), (theta - sine) / theta3_nz
+    )
+    jac = t_m_sine_by_t3[..., None, None] * outer(w, w)
+    jac = jac + sbt[..., None, None] * jnp.eye(3, dtype=w.dtype)
+    jac = jac - omc[..., None, None] * hat(w)
+    return [jac], ret
+
+
+@jax.custom_jvp
+def exp(w):
+    """Exponential map so(3) -> SO(3). (..., 3) -> (..., 3, 3)."""
+    return _exp_helper(w)[0]
+
+
+@exp.defjvp
+def _exp_jvp(primals, tangents):
+    (w,) = primals
+    (dw,) = tangents
+    (jac,), r = jexp(w)
+    # dR = R @ hat(J_r dw)
+    return r, r @ hat(mvp(jac, dw))
+
+
+def _log_helper(g):
+    sine_axis = antisym_project(g)
+    cosine = 0.5 * (g[..., 0, 0] + g[..., 1, 1] + g[..., 2, 2] - 1.0)
+    sine = jnp.linalg.norm(sine_axis, axis=-1)
+    theta = jnp.arctan2(sine, cosine)
+
+    near_zero = theta < get_eps("so3", "near_zero", g.dtype)
+    near_pi = (1.0 + cosine) <= get_eps("so3", "near_pi", g.dtype)
+    near_either = jnp.logical_or(near_zero, near_pi)
+    sine_nz = nz(sine, near_either)
+    scale = jnp.where(near_either, 1.0 + sine * sine / 6.0, theta / sine_nz)
+    ret = sine_axis * scale[..., None]
+
+    # near-pi branch: pick the major diagonal axis (reference so3_impl.py:412-434)
+    ddiag = jnp.stack([g[..., 0, 0], g[..., 1, 1], g[..., 2, 2]], axis=-1)
+    major = jnp.argmax(ddiag, axis=-1)
+    sel_rows = 0.5 * (
+        jnp.take_along_axis(g, major[..., None, None], axis=-2).squeeze(-2)
+        + jnp.take_along_axis(g, major[..., None, None], axis=-1).squeeze(-1)
+    )
+    one_hot = jax.nn.one_hot(major, 3, dtype=g.dtype)
+    sel_rows = sel_rows - cosine[..., None] * one_hot
+    axis_norm = jnp.linalg.norm(sel_rows, axis=-1)
+    axis = sel_rows / nz(axis_norm, jnp.logical_not(near_pi))[..., None]
+    sine_major = jnp.take_along_axis(sine_axis, major[..., None], axis=-1).squeeze(-1)
+    sign = jnp.where(sine_major >= 0, 1.0, -1.0).astype(g.dtype)
+    w = jnp.where(near_pi[..., None], axis * (theta * sign)[..., None], ret)
+    return w, (theta, sine, cosine)
+
+
+def _jlog_from_w(w, theta, sine, cosine):
+    """jlog = J_r^{-1} = a I + 0.5 hat(w) + b w w^T (reference so3_impl.py:442-480)."""
+    d_near_zero = theta < get_eps("so3", "d_near_zero", w.dtype)
+    theta2 = theta * theta
+    sine_theta = sine * theta
+    two_cos_minus_two = 2.0 * cosine - 2.0
+    tcm2_nz = nz(two_cos_minus_two, d_near_zero)
+    theta2_nz = nz(theta2, d_near_zero)
+
+    a = jnp.where(d_near_zero, 1.0 - theta2 / 12.0, -sine_theta / tcm2_nz)
+    b = jnp.where(
+        d_near_zero,
+        1.0 / 12.0 + theta2 / 720.0,
+        (sine_theta + two_cos_minus_two) / (theta2_nz * tcm2_nz),
+    )
+    jac = b[..., None, None] * outer(w, w)
+    jac = jac + 0.5 * hat(w)
+    jac = jac + a[..., None, None] * jnp.eye(3, dtype=w.dtype)
+    return jac
+
+
+def jlog(g):
+    """Returns ([jlog], w) with jlog the right-inverse Jacobian of log."""
+    w, (theta, sine, cosine) = _log_helper(g)
+    return [_jlog_from_w(w, theta, sine, cosine)], w
+
+
+@jax.custom_jvp
+def log(g):
+    """Logarithm map SO(3) -> so(3). (..., 3, 3) -> (..., 3)."""
+    return _log_helper(g)[0]
+
+
+@log.defjvp
+def _log_jvp(primals, tangents):
+    (g,) = primals
+    (dg,) = tangents
+    (jac,), w = jlog(g)
+    # dlog = jlog @ vee_antisym(R^T dR)
+    return w, mvp(jac, antisym_project(transpose(g) @ dg))
+
+
+def compose(g1, g2):
+    return g1 @ g2
+
+
+def jcompose(g1, g2):
+    """J1 = Adj(g2^{-1}) = g2^T, J2 = I (reference geometry/lie_group.py:162-174)."""
+    ret = g1 @ g2
+    b = jnp.broadcast_shapes(g1.shape[:-2], g2.shape[:-2])
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=g1.dtype), b + (3, 3))
+    return [jnp.broadcast_to(transpose(g2), b + (3, 3)), eye], ret
+
+
+def inverse(g):
+    return transpose(g)
+
+
+def jinverse(g):
+    """J = -Adj(g) = -g (reference geometry/lie_group.py:176-178)."""
+    return [-g], transpose(g)
+
+
+def adjoint(g):
+    return g
+
+
+def act(g, p):
+    """Rotate point(s): (..., 3, 3), (..., 3) -> (..., 3)."""
+    return mvp(g, p)
+
+
+rotate = act
+
+
+def jrotate(g, p):
+    """Jacobians of rotate wrt (group tangent, point)."""
+    ret = mvp(g, p)
+    return [g @ (-hat(p)), jnp.broadcast_to(g, jnp.broadcast_shapes(g.shape, p.shape[:-1] + (3, 3)))], ret
+
+
+def unrotate(g, p):
+    return mvp(transpose(g), p)
+
+
+def junrotate(g, p):
+    ret = mvp(transpose(g), p)
+    jg = hat(ret)
+    gt = transpose(g)
+    return [jg, jnp.broadcast_to(gt, jnp.broadcast_shapes(g.shape, p.shape[:-1] + (3, 3)))], ret
+
+
+def left_act(g, m):
+    """(..., 3, 3) @ (..., 3, K)."""
+    return g @ m
+
+
+def left_project(g, m):
+    """project(g^{-1} @ m): euclidean grad -> right tangent
+    (reference torchlie functional/lie_group.py:36-48)."""
+    return project(transpose(g) @ m)
+
+
+def identity(*batch, dtype=jnp.float32):
+    return jnp.broadcast_to(jnp.eye(3, dtype=dtype), tuple(batch) + (3, 3))
+
+
+def rand(key, *batch, dtype=jnp.float32):
+    """Uniform random rotations via quaternion sampling."""
+    q = jax.random.normal(key, tuple(batch) + (4,), dtype=dtype)
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    return quaternion_to_rotation(q)
+
+
+def randn(key, *batch, dtype=jnp.float32):
+    """exp of N(0, pi^2) tangents (reference so3_impl.py:190-200)."""
+    return exp(math.pi * jax.random.normal(key, tuple(batch) + (3,), dtype=dtype))
+
+
+def quaternion_to_rotation(q):
+    """(..., 4) wxyz unit quaternion -> (..., 3, 3)."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def rotation_to_quaternion(g):
+    """(..., 3, 3) -> (..., 4) wxyz, w >= 0. Shepperd's branch-free-ish method."""
+    m00, m01, m02 = g[..., 0, 0], g[..., 0, 1], g[..., 0, 2]
+    m10, m11, m12 = g[..., 1, 0], g[..., 1, 1], g[..., 1, 2]
+    m20, m21, m22 = g[..., 2, 0], g[..., 2, 1], g[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # four candidate constructions, pick numerically best by largest pivot
+    def q_from(tw, tx, ty, tz, pivot):
+        s = jnp.sqrt(jnp.maximum(pivot, 1e-12))
+        return jnp.stack([tw / s, tx / s, ty / s, tz / s], axis=-1)
+
+    q0 = q_from(0.5 * (1 + tr), 0.5 * (m21 - m12), 0.5 * (m02 - m20), 0.5 * (m10 - m01), 1 + tr)
+    q1 = q_from(0.5 * (m21 - m12), 0.5 * (1 + m00 - m11 - m22), 0.5 * (m01 + m10), 0.5 * (m02 + m20), 1 + m00 - m11 - m22)
+    q2 = q_from(0.5 * (m02 - m20), 0.5 * (m01 + m10), 0.5 * (1 - m00 + m11 - m22), 0.5 * (m12 + m21), 1 - m00 + m11 - m22)
+    q3 = q_from(0.5 * (m10 - m01), 0.5 * (m02 + m20), 0.5 * (m12 + m21), 0.5 * (1 - m00 - m11 + m22), 1 - m00 - m11 + m22)
+
+    pivots = jnp.stack([tr, m00, m11, m22], axis=-1)
+    case = jnp.where(
+        tr > 0,
+        0,
+        jnp.argmax(pivots[..., 1:], axis=-1) + 1,
+    )
+    qs = jnp.stack([q0, q1, q2, q3], axis=-2)
+    q = jnp.take_along_axis(qs, case[..., None, None], axis=-2).squeeze(-2)
+    sign = jnp.where(q[..., 0:1] < 0, -1.0, 1.0)
+    q = q * sign
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def normalize(g):
+    """Project a near-rotation 3x3 matrix onto SO(3) via SVD
+    (reference so3_impl.py normalize; SVD projection is the standard choice)."""
+    u, _, vt = jnp.linalg.svd(g)
+    d = jnp.linalg.det(u @ vt)
+    s = jnp.concatenate(
+        [jnp.ones_like(d)[..., None], jnp.ones_like(d)[..., None], d[..., None]],
+        axis=-1,
+    )
+    return (u * s[..., None, :]) @ vt
+
+
+def check_group_tensor(g, atol=None):
+    """Returns a bool array: is each element a valid rotation."""
+    if atol is None:
+        atol = get_eps("so3", "matrix", g.dtype)
+    eye = jnp.eye(3, dtype=g.dtype)
+    err = jnp.abs(transpose(g) @ g - eye).max(axis=(-2, -1))
+    det_err = jnp.abs(jnp.linalg.det(g) - 1.0)
+    return jnp.logical_and(err < atol, det_err < atol)
