@@ -1,0 +1,403 @@
+"""Trace-time compiler: Objective -> pure batched residual/jacobian functions.
+
+This subsumes the reference's `Vectorize` machinery (theseus/core/vectorizer.py:
+112): cost functions are bucketed by schema ONCE at compile time, member
+variables are gathered from per-type stacked state arrays with static index
+arrays, and each bucket's per-instance residual function is evaluated under
+`vmap(vmap(...))` over (instances, batch). There is no runtime cache
+invalidation — structural change triggers recompilation (the JAX analog of the
+reference's version counter, core/objective.py:111).
+
+State layout:
+  state: {type_key: (N_t, B, *elem_shape)}   — one stacked array per manifold
+  delta: (B, total_dof)                       — tangent vector, insertion order
+  aux:   tuple over buckets of (cf_aux, w_aux, robust_aux) stacked arrays —
+         a pytree, so outer-loop gradients flow through it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import Group
+from .cost_function import CostFunction, RobustCostFunction
+
+
+@dataclasses.dataclass(frozen=True)
+class SlotSpec:
+    type_key: str
+    dof: int
+    idx: np.ndarray  # (K,) member index within the type stack
+    cols: np.ndarray  # (K, dof) global tangent column indices
+    shared: bool  # all instances reference the same variable
+
+
+@dataclasses.dataclass(frozen=True)
+class AuxSlotSpec:
+    names: Tuple[str, ...]
+    shared: bool
+
+
+@dataclasses.dataclass(frozen=True)
+class BucketSpec:
+    name: str
+    template: CostFunction
+    cfs: Tuple[CostFunction, ...]
+    dim: int
+    row_offset: int
+    optim_slots: Tuple[SlotSpec, ...]
+    aux_slots: Tuple[AuxSlotSpec, ...]
+    weight_slots: Tuple[AuxSlotSpec, ...]
+    robust: bool
+    gnc: bool
+
+    @property
+    def k(self) -> int:
+        return len(self.cfs)
+
+    @property
+    def rows(self) -> int:
+        return self.k * self.dim
+
+
+class CompiledObjective:
+    """Pure-function view of an Objective. All index arrays are static."""
+
+    def __init__(
+        self,
+        var_names: Sequence[str],
+        var_groups: Dict[str, Group],
+        buckets: Sequence[BucketSpec],
+        type_members: Dict[str, Tuple[str, ...]],
+        aux_defaults: Dict[str, jnp.ndarray],
+        optim_defaults: Dict[str, jnp.ndarray],
+        dtype=jnp.float32,
+    ):
+        self.var_names = tuple(var_names)
+        self.var_groups = dict(var_groups)
+        self.buckets = tuple(buckets)
+        self.type_members = dict(type_members)
+        self.aux_defaults = dict(aux_defaults)
+        self.optim_defaults = dict(optim_defaults)
+        self.dtype = dtype
+
+        self.col_offset: Dict[str, int] = {}
+        off = 0
+        for n in self.var_names:
+            self.col_offset[n] = off
+            off += self.var_groups[n].dof
+        self.total_dof = off
+        self.total_dim = sum(b.rows for b in self.buckets)
+
+        self.groups_by_type: Dict[str, Group] = {}
+        for n in self.var_names:
+            self.groups_by_type[self.var_groups[n].name] = self.var_groups[n]
+
+        # per-type static col matrices and member order
+        self.type_cols: Dict[str, np.ndarray] = {}
+        self.type_index: Dict[str, int] = {}
+        for tk, members in self.type_members.items():
+            g = self.groups_by_type[tk]
+            self.type_cols[tk] = np.stack(
+                [
+                    np.arange(self.col_offset[n], self.col_offset[n] + g.dof)
+                    for n in members
+                ]
+            )
+            for i, n in enumerate(members):
+                self.type_index[n] = i
+
+    # ------------------------------------------------------------------
+    def resolve_batch_size(self, values: Dict[str, jnp.ndarray]) -> int:
+        """Max leading dim; 1-batches broadcast (reference objective.py:708)."""
+        b = 1
+        for v in values.values():
+            b = max(b, int(v.shape[0]))
+        return b
+
+    def pack(self, values: Dict[str, jnp.ndarray], batch_size: Optional[int] = None):
+        """values {name: (B|1, *shape)} -> state {type: (N_t, B, *shape)}."""
+        b = batch_size or self.resolve_batch_size(values)
+        state = {}
+        for tk, members in self.type_members.items():
+            g = self.groups_by_type[tk]
+            arrs = []
+            for n in members:
+                v = values[n]
+                if v.shape[0] != b:
+                    v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+                arrs.append(v)
+            state[tk] = jnp.stack(arrs, axis=0)
+        return state
+
+    def unpack(self, state) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for tk, members in self.type_members.items():
+            for i, n in enumerate(members):
+                out[n] = state[tk][i]
+        return out
+
+    def build_aux(self, values: Dict[str, jnp.ndarray], batch_size: Optional[int] = None):
+        """Gather per-bucket stacked aux arrays (a differentiable pytree)."""
+        b = batch_size or self.resolve_batch_size(values)
+
+        def get(n):
+            v = values[n] if n in values else self.aux_defaults[n]
+            if v.shape[0] != b:
+                v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+            return v
+
+        def build_slots(slots):
+            out = []
+            for s in slots:
+                if s.shared:
+                    out.append(get(s.names[0]))  # (B, ...)
+                else:
+                    out.append(jnp.stack([get(n) for n in s.names], axis=0))
+            return tuple(out)
+
+        return tuple(
+            (build_slots(bk.aux_slots), build_slots(bk.weight_slots))
+            for bk in self.buckets
+        )
+
+    # ------------------------------------------------------------------
+    def _bucket_eval(self, bucket: BucketSpec, state, bucket_aux, mode: str):
+        """mode: 'metric' -> weighted (robust-transformed) error only;
+        'linearize' -> (jacs, rescaled err)."""
+        cf_aux, w_aux = bucket_aux
+        xs = tuple(state[s.type_key][np.asarray(s.idx)] for s in bucket.optim_slots)
+        template = bucket.template
+        weight = template.weight
+
+        n_optim = len(xs)
+        n_aux = len(cf_aux)
+
+        if mode == "metric":
+
+            def one(args):
+                optim = args[:n_optim]
+                aux = args[n_optim : n_optim + n_aux]
+                waux = args[n_optim + n_aux :]
+                err = template.error_impl(optim, aux)
+                werr, _ = weight.apply(err, None, waux)
+                if bucket.robust:
+                    log_radius = aux[-1][..., 0]
+                    werr = template.robust_apply_error(werr, log_radius)
+                return werr
+
+        else:
+            jfn = template.jacobians_fn()
+
+            def one(args):
+                optim = args[:n_optim]
+                aux = args[n_optim : n_optim + n_aux]
+                waux = args[n_optim + n_aux :]
+                jacs, err = jfn(optim, aux)
+                werr, wjacs = weight.apply(err, jacs, waux)
+                if bucket.robust:
+                    log_radius = aux[-1][..., 0]
+                    rescale = template.robust_rescale(werr, log_radius)
+                    if template.flatten_dims:
+                        werr = rescale * werr
+                        wjacs = [rescale[:, None] * j for j in wjacs]
+                    else:
+                        werr = rescale * werr
+                        wjacs = [rescale * j for j in wjacs]
+                return tuple(wjacs), werr
+
+        args = xs + cf_aux + tuple(w_aux)
+        outer_axes = tuple(
+            [0] * n_optim
+            + [None if s.shared else 0 for s in bucket.aux_slots]
+            + [None if s.shared else 0 for s in bucket.weight_slots]
+        )
+        inner = jax.vmap(one, in_axes=((0,) * len(args),))
+        outer = jax.vmap(inner, in_axes=(outer_axes,))
+        return outer(args)
+
+    def error(self, state, aux, mode: str = "metric"):
+        """Weighted error vector (B, total_dim)."""
+        outs = []
+        for bk, bk_aux in zip(self.buckets, aux):
+            if mode == "metric":
+                werr = self._bucket_eval(bk, state, bk_aux, "metric")  # (K,B,dim)
+            else:
+                _, werr = self._bucket_eval(bk, state, bk_aux, "linearize")
+            b = werr.shape[1]
+            outs.append(jnp.moveaxis(werr, 0, 1).reshape(b, -1))
+        return jnp.concatenate(outs, axis=-1)
+
+    def error_metric(self, state, aux):
+        """0.5 * ||e||^2 per batch element (reference objective.py:37)."""
+        e = self.error(state, aux, mode="metric")
+        return 0.5 * jnp.sum(e * e, axis=-1)
+
+    def linearize_blocks(self, state, aux):
+        """Per-bucket ((jacs per slot (K,B,dim,dof)), err (K,B,dim))."""
+        return [
+            self._bucket_eval(bk, state, bk_aux, "linearize")
+            for bk, bk_aux in zip(self.buckets, aux)
+        ]
+
+    def dense_A_b(self, state, aux):
+        """Assemble batched dense A (B, M, D) and b = -err (B, M)."""
+        blocks = self.linearize_blocks(state, aux)
+        some = next(iter(state.values()))
+        b = some.shape[1]
+        dtype = some.dtype
+        A = jnp.zeros((b, self.total_dim, self.total_dof), dtype=dtype)
+        errs = []
+        for bk, (jacs, werr) in zip(self.buckets, blocks):
+            rows = bk.row_offset + np.arange(bk.rows).reshape(bk.k, bk.dim)
+            for s, jac in zip(bk.optim_slots, jacs):
+                jac_t = jnp.moveaxis(jac, 0, 1)  # (B, K, dim, dof)
+                A = A.at[:, rows[:, :, None], s.cols[:, None, :]].add(jac_t)
+            errs.append(jnp.moveaxis(werr, 0, 1).reshape(b, -1))
+        err = jnp.concatenate(errs, axis=-1)
+        return A, -err
+
+    # ------------------------------------------------------------------
+    def retract(self, state, delta, accept=None):
+        """state + delta (B, D), optionally masked per batch element.
+
+        accept: (B,) bool; False freezes that batch element (the reference's
+        batch_ignore_mask path, core/variable.py:65-71)."""
+        new_state = {}
+        for tk, members in self.type_members.items():
+            g = self.groups_by_type[tk]
+            cols = self.type_cols[tk]  # (N_t, dof)
+            d = jnp.moveaxis(delta[:, cols], 0, 1)  # (N_t, B, dof)
+            cur = state[tk]
+            new = jax.vmap(jax.vmap(g.retract))(cur, d)
+            if accept is not None:
+                mask = accept.reshape((1, -1) + (1,) * (new.ndim - 2))
+                new = jnp.where(mask, new, cur)
+            new_state[tk] = new
+        return new_state
+
+    def state_dtype(self, state):
+        return next(iter(state.values())).dtype
+
+    def batch_size(self, state):
+        return next(iter(state.values())).shape[1]
+
+
+def compile_objective(objective) -> CompiledObjective:
+    """Bucket cost functions by schema and freeze all index arrays."""
+    cfs = list(objective.cost_functions.values())
+    if not cfs:
+        raise ValueError("Objective has no cost functions.")
+
+    # optim var registry, insertion order
+    var_names: List[str] = []
+    var_groups: Dict[str, Group] = {}
+    optim_defaults = {}
+    aux_defaults = {}
+    for cf in cfs:
+        for v in cf.optim_vars:
+            if v.name not in var_groups:
+                var_names.append(v.name)
+                var_groups[v.name] = v.group
+                if v.tensor is not None:
+                    optim_defaults[v.name] = v.tensor
+            elif var_groups[v.name] is not v.group and var_groups[v.name] != v.group:
+                raise ValueError(f"Variable {v.name} registered with two groups.")
+        for a in list(cf.aux_vars) + list(cf.weight.aux_vars):
+            if a.tensor is not None and a.name not in aux_defaults:
+                aux_defaults[a.name] = a.tensor
+
+    # type stacks
+    type_members: Dict[str, Tuple[str, ...]] = {}
+    tmp: Dict[str, List[str]] = {}
+    for n in var_names:
+        tmp.setdefault(var_groups[n].name, []).append(n)
+    for tk, ms in tmp.items():
+        type_members[tk] = tuple(ms)
+    type_index = {n: i for ms in type_members.values() for i, n in enumerate(ms)}
+
+    dtype = None
+    for t in list(optim_defaults.values()) + list(aux_defaults.values()):
+        if jnp.issubdtype(t.dtype, jnp.floating):
+            dtype = t.dtype
+            break
+    dtype = dtype or jnp.float32
+
+    # schema bucketing, preserving insertion order of first member
+    bucket_map: Dict = {}
+    order: List = []
+    for cf in cfs:
+        key = cf.schema()
+        if key not in bucket_map:
+            bucket_map[key] = []
+            order.append(key)
+        bucket_map[key].append(cf)
+
+    col_offset = {}
+    off = 0
+    for n in var_names:
+        col_offset[n] = off
+        off += var_groups[n].dof
+
+    buckets: List[BucketSpec] = []
+    row_offset = 0
+    for key in order:
+        members = bucket_map[key]
+        t0 = members[0]
+        optim_slots = []
+        for si, v in enumerate(t0.optim_vars):
+            g = v.group
+            names = [cf.optim_vars[si].name for cf in members]
+            idx = np.array([type_index[n] for n in names])
+            cols = np.stack(
+                [np.arange(col_offset[n], col_offset[n] + g.dof) for n in names]
+            )
+            optim_slots.append(
+                SlotSpec(
+                    type_key=g.name,
+                    dof=g.dof,
+                    idx=idx,
+                    cols=cols,
+                    shared=len(set(names)) == 1,
+                )
+            )
+        aux_slots = []
+        for si in range(len(t0.aux_vars)):
+            names = tuple(cf.aux_vars[si].name for cf in members)
+            aux_slots.append(AuxSlotSpec(names=names, shared=len(set(names)) == 1))
+        weight_slots = []
+        for si in range(len(t0.weight.aux_vars)):
+            names = tuple(cf.weight.aux_vars[si].name for cf in members)
+            weight_slots.append(AuxSlotSpec(names=names, shared=len(set(names)) == 1))
+
+        robust = isinstance(t0, RobustCostFunction)
+        buckets.append(
+            BucketSpec(
+                name=f"bucket_{len(buckets)}_{type(t0).__name__}",
+                template=t0,
+                cfs=tuple(members),
+                dim=t0.dim(),
+                row_offset=row_offset,
+                optim_slots=tuple(optim_slots),
+                aux_slots=tuple(aux_slots),
+                weight_slots=tuple(weight_slots),
+                robust=robust,
+                gnc=robust and t0.loss_cls.is_gnc,
+            )
+        )
+        row_offset += len(members) * t0.dim()
+
+    return CompiledObjective(
+        var_names=var_names,
+        var_groups=var_groups,
+        buckets=buckets,
+        type_members=type_members,
+        aux_defaults=aux_defaults,
+        optim_defaults=optim_defaults,
+        dtype=dtype,
+    )

@@ -1,0 +1,131 @@
+"""Objective: the mutable problem-graph builder.
+
+Re-design of the reference Objective (theseus/core/objective.py:42). The
+builder keeps user-facing bookkeeping (ordered cost functions, shared
+variables by name, add/erase); all numerical work lives in the compiled view
+(`compile()`), which is cached and invalidated on structural change — the JAX
+analog of the reference's version counter (objective.py:111) combined with
+its Vectorize hooks (objective.py:916).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+
+from .compiled import CompiledObjective, compile_objective
+from .cost_function import CostFunction
+from .variable import ManifoldVariable, Variable
+
+
+class Objective:
+    def __init__(self, dtype=jnp.float32):
+        self.cost_functions: "OrderedDict[str, CostFunction]" = OrderedDict()
+        self.optim_vars: Dict[str, ManifoldVariable] = {}
+        self.aux_vars: Dict[str, Variable] = {}
+        self.dtype = dtype
+        self._compiled: Optional[CompiledObjective] = None
+        self.current_version = 0
+
+    def add(self, cost_function: CostFunction):
+        if cost_function.name in self.cost_functions:
+            raise ValueError(f"Duplicate cost function name {cost_function.name}")
+        for v in cost_function.optim_vars:
+            existing = self.optim_vars.get(v.name)
+            if existing is not None and existing is not v:
+                if existing.group != v.group:
+                    raise ValueError(
+                        f"Optim variable name clash with different groups: {v.name}"
+                    )
+            self.optim_vars[v.name] = v
+            if v.name in self.aux_vars:
+                raise ValueError(f"{v.name} already registered as auxiliary.")
+        for a in list(cost_function.aux_vars) + list(cost_function.weight.aux_vars):
+            if a.name in self.optim_vars:
+                raise ValueError(f"{a.name} already registered as optimization var.")
+            self.aux_vars[a.name] = a
+        self.cost_functions[cost_function.name] = cost_function
+        self._compiled = None
+        self.current_version += 1
+        return self
+
+    def erase(self, name: str):
+        cf = self.cost_functions.pop(name)
+        # drop variables that no longer appear anywhere
+        still = set()
+        for c in self.cost_functions.values():
+            for v in c.optim_vars:
+                still.add(v.name)
+            for a in list(c.aux_vars) + list(c.weight.aux_vars):
+                still.add(a.name)
+        for v in cf.optim_vars:
+            if v.name not in still:
+                self.optim_vars.pop(v.name, None)
+        for a in list(cf.aux_vars) + list(cf.weight.aux_vars):
+            if a.name not in still:
+                self.aux_vars.pop(a.name, None)
+        self._compiled = None
+        self.current_version += 1
+        return cf
+
+    def has_cost_function(self, name: str) -> bool:
+        return name in self.cost_functions
+
+    def get_cost_function(self, name: str) -> Optional[CostFunction]:
+        return self.cost_functions.get(name)
+
+    def size_cost_functions(self) -> int:
+        return len(self.cost_functions)
+
+    def size_variables(self) -> int:
+        return len(self.optim_vars)
+
+    def size_aux_vars(self) -> int:
+        return len(self.aux_vars)
+
+    def dim(self) -> int:
+        return sum(cf.dim() for cf in self.cost_functions.values())
+
+    def compile(self) -> CompiledObjective:
+        if self._compiled is None:
+            self._compiled = compile_objective(self)
+        return self._compiled
+
+    # ------------------------------------------------------------------
+    def default_values(self, input_tensors: Optional[Dict] = None) -> Dict:
+        """Merge stored variable defaults with user inputs into a full dict."""
+        values = {}
+        for n, v in self.optim_vars.items():
+            values[n] = v.default(dtype=self.dtype)
+        for n, a in self.aux_vars.items():
+            if a.tensor is not None:
+                values[n] = a.tensor
+        if input_tensors:
+            for n, t in input_tensors.items():
+                values[n] = jnp.asarray(t)
+        missing = [
+            n for n in self.optim_vars if n not in values or values[n] is None
+        ]
+        if missing:
+            raise ValueError(f"No data for optimization variables {missing}")
+        return values
+
+    def error(self, values: Optional[Dict] = None, input_tensors: Optional[Dict] = None):
+        """Weighted error vector (B, dim()) at given values."""
+        co = self.compile()
+        values = values or self.default_values(input_tensors)
+        b = co.resolve_batch_size(values)
+        state = co.pack(values, b)
+        aux = co.build_aux(values, b)
+        return co.error(state, aux)
+
+    def error_metric(self, values: Optional[Dict] = None, input_tensors: Optional[Dict] = None):
+        """0.5*||e||^2 per batch element."""
+        co = self.compile()
+        values = values or self.default_values(input_tensors)
+        b = co.resolve_batch_size(values)
+        state = co.pack(values, b)
+        aux = co.build_aux(values, b)
+        return co.error_metric(state, aux)

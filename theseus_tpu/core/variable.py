@@ -1,0 +1,109 @@
+"""Variables: named handles binding a manifold type (or raw tensor) to data.
+
+Re-design of the reference's Variable/Manifold split (theseus/core/variable.py:14,
+theseus/geometry/manifold.py:31). In the functional JAX architecture a Variable
+is a *spec* (name + manifold group + default value); per-step data lives in a
+plain `{name: (B, *shape)}` dict that flows through jitted functions. There is
+no update-counter machinery: structure changes trigger re-compilation (the JAX
+analog of the reference's version guard, core/objective.py:111).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..lie import Group, by_name, euclidean
+from ..lie import group as _groupmod
+
+_counter = itertools.count()
+
+
+def _auto_name(prefix: str) -> str:
+    return f"{prefix}__{next(_counter)}"
+
+
+class Variable:
+    """An auxiliary (non-optimized) named tensor of shape (B, *shape)."""
+
+    def __init__(self, tensor=None, name: Optional[str] = None):
+        self.name = name or _auto_name(type(self).__name__)
+        self.tensor = None if tensor is None else jnp.asarray(tensor)
+
+    @property
+    def shape(self):
+        return None if self.tensor is None else self.tensor.shape
+
+    def __repr__(self):
+        return f"{type(self).__name__}(name={self.name}, shape={self.shape})"
+
+
+class ManifoldVariable(Variable):
+    """An optimization variable living on a manifold `group`."""
+
+    def __init__(self, group: Group, tensor=None, name: Optional[str] = None):
+        super().__init__(tensor=tensor, name=name)
+        self.group = group
+        if self.tensor is not None:
+            expect = group.shape
+            if tuple(self.tensor.shape[-len(expect):]) != tuple(expect):
+                raise ValueError(
+                    f"{group.name} variable expects trailing shape {expect}, "
+                    f"got {self.tensor.shape}"
+                )
+            if self.tensor.ndim == len(expect):
+                self.tensor = self.tensor[None]  # add batch dim
+
+    @property
+    def dof(self) -> int:
+        return self.group.dof
+
+    def default(self, dtype=jnp.float32):
+        if self.tensor is not None:
+            return self.tensor
+        return self.group.identity(1, dtype=dtype)
+
+
+# -- convenience constructors (parity with th.SE3(...), th.Vector(...)) -----
+
+
+def SE3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(_groupmod.SE3, tensor, name)
+
+
+def SO3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(_groupmod.SO3, tensor, name)
+
+
+def SE2(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(_groupmod.SE2, tensor, name)
+
+
+def SO2(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(_groupmod.SO2, tensor, name)
+
+
+def Vector(dof: Optional[int] = None, tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    if dof is None:
+        if tensor is None:
+            raise ValueError("Vector needs dof or tensor")
+        dof = int(np.asarray(tensor).shape[-1])
+    return ManifoldVariable(euclidean(dof), tensor, name)
+
+
+def Point2(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(euclidean(2), tensor, name)
+
+
+def Point3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
+    return ManifoldVariable(euclidean(3), tensor, name)
+
+
+def as_variable(value, name: Optional[str] = None) -> Variable:
+    """Wrap raw data as an aux Variable (reference core/variable.py:107)."""
+    if isinstance(value, Variable):
+        return value
+    return Variable(tensor=jnp.asarray(value), name=name)
