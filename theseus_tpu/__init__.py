@@ -29,9 +29,11 @@ from .core import (
 )
 from .core import SE2, SE3, SO2, SO3, Point2, Point3, Vector
 from .layer import TheseusLayer
+from .embodied import Between, Difference, Local, MovingFrameBetween, Reprojection
 from .optim import (
     DenseCholeskySolver,
     DenseLUSolver,
+    Dogleg,
     GaussNewton,
     LevenbergMarquardt,
     NonlinearOptimizerStatus,

@@ -1,5 +1,6 @@
 from .linear import DenseCholeskySolver, DenseLUSolver, apply_damping
 from .nonlinear import (
+    Dogleg,
     GaussNewton,
     LevenbergMarquardt,
     NLSOptions,

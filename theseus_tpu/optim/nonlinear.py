@@ -65,6 +65,15 @@ class NLSOptions:
     max_damping: float = 1e7
     track_err_history: bool = True
     track_state_history: bool = False
+    # trust-region options (Dogleg; reference trust_region.py:113-135)
+    trust_region_init: float = 0.5
+    accept_threshold: float = 0.0
+    shrink_threshold: float = 0.25
+    expand_threshold: float = 0.75
+    shrink_ratio: float = 0.25
+    expand_ratio: float = 2.0
+    min_trust_region: float = 1e-5
+    max_trust_region: float = 1e5
 
 
 class NonlinearLeastSquares:
@@ -100,6 +109,10 @@ class NonlinearLeastSquares:
     def compiled(self) -> CompiledObjective:
         return self.objective.compile()
 
+    def _init_scalar_state(self, opts: NLSOptions) -> float:
+        """Per-batch scalar state: LM damping or trust radius."""
+        return opts.damping
+
     # -- pure building blocks -------------------------------------------
     def init_carry(self, state, aux, opts: NLSOptions):
         co = self.compiled
@@ -111,7 +124,7 @@ class NonlinearLeastSquares:
             "err": err,
             "done": jnp.zeros((b,), dtype=bool),
             "fail": jnp.zeros((b,), dtype=bool),
-            "damping": jnp.full((b,), opts.damping, dtype=dtype),
+            "damping": jnp.full((b,), self._init_scalar_state(opts), dtype=dtype),
             "it": jnp.zeros((), dtype=jnp.int32),
             "converged_iter": jnp.full((b,), -1, dtype=jnp.int32),
             "best_err": err,
@@ -301,3 +314,58 @@ class LevenbergMarquardt(NonlinearLeastSquares):
         )
         new_damping = jnp.clip(new_damping, opts.min_damping, opts.max_damping)
         return ~reject, new_damping
+
+
+class Dogleg(NonlinearLeastSquares):
+    """Dogleg trust-region steps (reference dogleg.py:18, trust_region.py:35).
+
+    The per-batch scalar state carried across iterations is the trust radius.
+    Everything is computed from (AtA, Atb) so the same normal-equation path
+    serves dense and sparse linearizations: ||A d||^2 = d^T AtA d."""
+
+    method = "dogleg"
+    EPS = 1e-7
+
+    def _init_scalar_state(self, opts: NLSOptions) -> float:
+        return opts.trust_region_init
+
+    def compute_delta(self, AtA, Atb, trust_region, opts: NLSOptions):
+        delta_gn, fail = self.linear_solver.solve(AtA, Atb, 0.0, False)
+        tr2 = (trust_region**2)[:, None]
+
+        delta_sd = Atb  # steepest descent direction (grad = -Atb)
+        sd_AtA_sd = jnp.einsum("bi,bij,bj->b", delta_sd, AtA, delta_sd)[:, None]
+        grad_norm_2 = jnp.sum(delta_sd**2, axis=-1, keepdims=True)
+        cauchy_step = grad_norm_2 / (sd_AtA_sd + Dogleg.EPS)
+        delta_c = delta_sd * cauchy_step
+        delta_c_norm_2 = grad_norm_2 * cauchy_step**2
+        c_within = delta_c_norm_2 <= tr2
+
+        # truncate Cauchy steps beyond the region
+        delta_trunc = delta_c * trust_region[:, None] / jnp.sqrt(delta_c_norm_2 + Dogleg.EPS)
+
+        # interpolate toward GN along the dogleg path: ||c + tau (gn - c)|| = tr
+        diff = delta_gn - delta_c
+        a = jnp.sum(diff**2, axis=-1, keepdims=True)
+        b = 2.0 * jnp.sum(delta_c * diff, axis=-1, keepdims=True)
+        c = delta_c_norm_2 - tr2
+        disc = jnp.maximum(b**2 - 4.0 * a * c, Dogleg.EPS)
+        tau = jnp.minimum((-b + jnp.sqrt(disc)) / (2.0 * a + Dogleg.EPS), 1.0)
+        delta_interp = delta_c + tau * diff
+
+        gn_norm_2 = jnp.sum(delta_gn**2, axis=-1, keepdims=True)
+        gn_within = gn_norm_2 < tr2
+        delta = jnp.where(gn_within, delta_gn, jnp.where(c_within, delta_interp, delta_trunc))
+        return delta, fail
+
+    def _accept_and_damping(self, delta, AtA, Atb, new_err, prev_err, trust_region, opts):
+        # rho = actual/predicted reduction (reference trust_region.py:91-113)
+        Ad2 = jnp.einsum("bi,bij,bj->b", delta, AtA, delta)
+        pred_err = prev_err - jnp.sum(delta * Atb, axis=-1) + 0.5 * Ad2
+        den = prev_err - pred_err
+        den = jnp.where(den == 0, 1e-12, den)
+        rho = (prev_err - new_err) / den
+        tr = jnp.where(rho < opts.shrink_threshold, trust_region * opts.shrink_ratio, trust_region)
+        tr = jnp.where(rho > opts.expand_threshold, tr * opts.expand_ratio, tr)
+        tr = jnp.clip(tr, opts.min_trust_region, opts.max_trust_region)
+        return rho >= opts.accept_threshold, tr
