@@ -1,0 +1,103 @@
+"""Benchmark: batched SE3 PGO forward solve, per-LM-iteration time.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Config mirrors the reference's pgo benchmark scale (64 poses, batch 16;
+tests/theseus_tests/test_pgo_benchmark.py + pose_graph_synthetic.yaml).
+`vs_baseline` compares against the reference theseus (torch, CPU) measured on
+this machine with the same problem shape via scripts/bench_reference.py —
+value stored in BASELINE_REF_MS below (speedup = baseline/ours)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_POSES = 64
+BATCH = 16
+N_ITERS = 10
+# per-LM-iteration ms of reference theseus (LM + dense Cholesky + Vectorize,
+# torch CPU f32, same 64-pose/batch-16 problem) measured on this machine via
+# scripts/bench_reference.py on 2026-08-16: 60.879 ms/iter.
+BASELINE_REF_MS = 60.879
+
+
+def build(n_poses=N_POSES, batch=BATCH, dtype=jnp.float32, seed=0):
+    import theseus_tpu as tt
+    from theseus_tpu import lie
+
+    g = lie.SE3
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, 3 * n_poses + 4)
+    gt = [g.identity(batch, dtype=dtype)]
+    for i in range(1, n_poses):
+        step = g.exp(0.3 * jax.random.normal(keys[i], (batch, 6), dtype=dtype))
+        gt.append(jax.vmap(g.compose)(gt[-1], step))
+
+    obj = tt.Objective(dtype=dtype)
+    poses = [tt.SE3(name=f"pose_{i}") for i in range(n_poses)]
+    obj.add(tt.Local(poses[0], gt[0], tt.ScaleCostWeight(jnp.asarray(10.0, dtype)), name="prior"))
+    edges = [(i, i + 1) for i in range(n_poses - 1)] + [(n_poses - 1, 0), (0, n_poses // 2)]
+    for ei, (i, j) in enumerate(edges):
+        rel = jax.vmap(g.compose)(jax.vmap(g.inverse)(gt[i]), gt[j])
+        nz = g.exp(0.05 * jax.random.normal(keys[n_poses + ei % n_poses], (batch, 6), dtype=dtype))
+        obj.add(tt.Between(poses[i], poses[j], jax.vmap(g.compose)(rel, nz), name=f"e{ei}"))
+    init = {
+        f"pose_{i}": jax.vmap(g.compose)(
+            gt[i], g.exp(0.2 * jax.random.normal(keys[2 * n_poses + i % n_poses], (batch, 6), dtype=dtype))
+        )
+        for i in range(n_poses)
+    }
+    opt = tt.LevenbergMarquardt(obj, max_iterations=N_ITERS, adaptive_damping=True)
+    layer = tt.TheseusLayer(opt)
+    co = obj.compile()
+    values = obj.default_values(init)
+    state = co.pack(values, batch)
+    aux = co.build_aux(values, batch)
+    return layer, state, aux
+
+
+def _time_iters(layer, state, aux, n_iters, reps=4):
+    """Wall time of an n_iters fixed LM solve, synced by host transfer (the
+    axon tunnel's block_until_ready does not synchronize; np.asarray does)."""
+    opts = layer.optimizer.opts
+
+    @jax.jit
+    def fwd(state, aux):
+        carry = layer.optimizer.init_carry(state, aux, opts)
+        carry = layer.optimizer.run_scan(carry, aux, n_iters, opts)
+        return carry["err"]
+
+    np.asarray(fwd(state, aux))  # compile + warmup
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(fwd(state, aux))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def main():
+    layer, state, aux = build()
+    # marginal cost per iteration: strips the ~50 ms tunnel round-trip that a
+    # single timed call includes (t(10+K iters) - t(10)) / K
+    extra = 100
+    t_small = _time_iters(layer, state, aux, N_ITERS)
+    t_large = _time_iters(layer, state, aux, N_ITERS + extra)
+    per_iter_ms = (t_large - t_small) / extra * 1e3
+
+    vs = 1.0 if BASELINE_REF_MS is None else BASELINE_REF_MS / per_iter_ms
+    print(json.dumps({
+        "metric": f"pgo_se3_{N_POSES}poses_b{BATCH}_lm_iter_time",
+        "value": round(per_iter_ms, 4),
+        "unit": "ms/iter",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Mesh sharding for batched NLLS problems.
+
+The reference has no distributed path (SURVEY.md §2.9: no NCCL/MPI anywhere);
+its scaling axes are batch size and problem size. The TPU-native analog is
+free multi-chip scaling of the *batch* axis via `jax.sharding`: every state
+array is (N_instances, B, *elem), every stacked aux array is (K, B, *shape)
+and every shared aux array is (B, *shape), so sharding B over a device mesh
+("dp") turns the whole inner loop into per-chip independent solves with zero
+collectives — only the outer-loop loss reduction crosses chips (one psum
+inserted by XLA). Larger-than-chip single problems would instead shard the
+residual/variable axes; helpers for that live with the sparse solver.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.compiled import CompiledObjective
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def state_pspecs(co: CompiledObjective, axis: str = "dp"):
+    """PartitionSpec pytree matching `co.pack(...)`: shard the batch axis."""
+    return {tk: P(None, axis) for tk in co.type_members}
+
+
+def aux_pspecs(co: CompiledObjective, axis: str = "dp"):
+    """PartitionSpec pytree matching `co.build_aux(...)` structurally:
+    stacked slots are (K, B, ...), shared slots are (B, ...)."""
+    out = []
+    for bk in co.buckets:
+        def spec_for(slots):
+            return tuple(P(axis) if s.shared else P(None, axis) for s in slots)
+
+        out.append((spec_for(bk.aux_slots), spec_for(bk.weight_slots)))
+    return tuple(out)
+
+
+def shard_problem(co: CompiledObjective, state, aux, mesh: Mesh, axis: str = "dp"):
+    """Place state/aux on the mesh with batch-axis sharding."""
+    sspec = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), state_pspecs(co, axis)
+    )
+    aspec = jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s),
+        aux_pspecs(co, axis),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    state = jax.tree_util.tree_map(jax.device_put, state, sspec)
+    aux = jax.tree_util.tree_map(jax.device_put, aux, aspec)
+    return state, aux
