@@ -129,10 +129,10 @@ class TheseusLayer:
         opt = self.optimizer
         co = self.objective.compile()
         state = carry["state"]
-        AtA, Atb = opt._normal_system(state, aux, detach_hessian=True)
+        ns = opt.normal_builder.build(state, aux, detach_hessian=True)
         # pure GN solve regardless of optimizer type (reference
         # nonlinear_least_squares.py:121-135)
-        delta, _ = opt.linear_solver.solve(AtA, Atb, damping=0.0, ellipsoidal=False)
+        delta, _ = ns.solve(0.0, False)
         ss = opts.step_size if step_size is None else step_size
         new_state = co.retract(state, ss * delta)
         out = dict(carry)
@@ -186,11 +186,11 @@ def _dlm_solve_bwd(layer, opts, epsilon, res, g):
 
     # One detached-hessian GN step of the g-perturbed objective from x*:
     # min 0.5||r(x)||^2 + eps <g, x>  =>  delta = (AtA)^-1 (Atb - eps*gt)
-    AtA, Atb = opt._normal_system(sol, sg_aux, detach_hessian=True)
+    ns = opt.normal_builder.build(sol, sg_aux, detach_hessian=True)
     # map ambient cotangent g (pytree like state) to tangent coordinates
     gt = _state_cotangent_to_tangent(co, sol, g)
-    delta_pert, _ = opt.linear_solver.solve(AtA, Atb - epsilon * gt, 0.0, False)
-    delta_base, _ = opt.linear_solver.solve(AtA, Atb, 0.0, False)
+    delta_pert, _ = ns.solve(0.0, False, rhs_shift=epsilon * gt)
+    delta_base, _ = ns.solve(0.0, False)
     x_pert = co.retract(sol, delta_pert)
     x_base = co.retract(sol, delta_base)
 

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..core.compiled import CompiledObjective
 from .linear import DenseCholeskySolver, damping_diag
+from .normal import DenseNormalBuilder, SparseNormalBuilder
 
 
 class NonlinearOptimizerStatus:
@@ -88,15 +89,20 @@ class NonlinearLeastSquares:
         objective,
         linear_solver=None,
         linearization: str = "dense",
+        ordering: str = "amd",
         max_iterations: int = 20,
         step_size: float = 1.0,
         abs_err_tolerance: float = 1e-10,
         rel_err_tolerance: float = 1e-8,
         **opt_kwargs,
     ):
+        if linearization not in ("dense", "sparse"):
+            raise ValueError("linearization must be 'dense' or 'sparse'")
         self.objective = objective
         self.linear_solver = linear_solver or DenseCholeskySolver()
         self.linearization = linearization
+        self.ordering = ordering
+        self._normal_builder = None
         self.opts = NLSOptions(
             max_iterations=max_iterations,
             step_size=step_size,
@@ -108,6 +114,17 @@ class NonlinearLeastSquares:
     @property
     def compiled(self) -> CompiledObjective:
         return self.objective.compile()
+
+    @property
+    def normal_builder(self):
+        # invalidate on structural recompiles
+        co = self.compiled
+        if self._normal_builder is None or self._normal_builder.co is not co:
+            if self.linearization == "sparse":
+                self._normal_builder = SparseNormalBuilder(co, ordering=self.ordering)
+            else:
+                self._normal_builder = DenseNormalBuilder(co, self.linear_solver)
+        return self._normal_builder
 
     def _init_scalar_state(self, opts: NLSOptions) -> float:
         """Per-batch scalar state: LM damping or trust radius."""
@@ -134,21 +151,11 @@ class NonlinearLeastSquares:
             carry["history"] = hist.at[0].set(err)
         return carry
 
-    def _normal_system(self, state, aux, detach_hessian: bool = False):
-        """Returns (AtA (B,D,D), Atb (B,D)). Hessian optionally detached for
-        the implicit-diff final step (reference dense_linearization.py:61)."""
-        co = self.compiled
-        A, b = co.dense_A_b(state, aux)
-        A_h = jax.lax.stop_gradient(A) if detach_hessian else A
-        AtA = jnp.einsum("bmi,bmj->bij", A_h, A_h)
-        Atb = jnp.einsum("bmi,bm->bi", A, b)
-        return AtA, Atb
-
-    def compute_delta(self, AtA, Atb, damping, opts: NLSOptions):
-        """Subclass hook: returns (delta, fail_mask)."""
+    def compute_delta(self, ns, damping, opts: NLSOptions):
+        """Subclass hook: returns (delta, fail_mask) from a NormalSystem."""
         raise NotImplementedError
 
-    def _accept_and_damping(self, delta, AtA, Atb, new_err, prev_err, damping, opts):
+    def _accept_and_damping(self, delta, ns, new_err, prev_err, damping, opts):
         """Subclass hook: returns (accept_mask (B,), new_damping)."""
         b = new_err.shape[0]
         return jnp.ones((b,), dtype=bool), damping
@@ -156,8 +163,8 @@ class NonlinearLeastSquares:
     def iteration(self, carry, aux, opts: NLSOptions, detach_hessian=False, force_update=False, step_size=None):
         co = self.compiled
         state = carry["state"]
-        AtA, Atb = self._normal_system(state, aux, detach_hessian)
-        delta, solver_fail = self.compute_delta(AtA, Atb, carry["damping"], opts)
+        ns = self.normal_builder.build(state, aux, detach_hessian)
+        delta, solver_fail = self.compute_delta(ns, carry["damping"], opts)
         ss = opts.step_size if step_size is None else step_size
         tentative = co.retract(state, ss * delta)
         new_err = co.error_metric(tentative, aux)
@@ -167,7 +174,7 @@ class NonlinearLeastSquares:
             damping = carry["damping"]
         else:
             accept, damping = self._accept_and_damping(
-                delta, AtA, Atb, new_err, carry["err"], carry["damping"], opts
+                delta, ns, new_err, carry["err"], carry["damping"], opts
             )
         bad = solver_fail | ~jnp.isfinite(new_err)
         active = ~carry["done"] & ~bad
@@ -282,8 +289,8 @@ class GaussNewton(NonlinearLeastSquares):
 
     method = "gauss_newton"
 
-    def compute_delta(self, AtA, Atb, damping, opts: NLSOptions):
-        return self.linear_solver.solve(AtA, Atb, damping=0.0, ellipsoidal=False)
+    def compute_delta(self, ns, damping, opts: NLSOptions):
+        return ns.solve(0.0, False)
 
 
 class LevenbergMarquardt(NonlinearLeastSquares):
@@ -292,20 +299,17 @@ class LevenbergMarquardt(NonlinearLeastSquares):
 
     method = "levenberg_marquardt"
 
-    def compute_delta(self, AtA, Atb, damping, opts: NLSOptions):
-        return self.linear_solver.solve(
-            AtA, Atb, damping=damping, ellipsoidal=opts.ellipsoidal_damping
-        )
+    def compute_delta(self, ns, damping, opts: NLSOptions):
+        return ns.solve(damping, opts.ellipsoidal_damping)
 
-    def _accept_and_damping(self, delta, AtA, Atb, new_err, prev_err, damping, opts):
+    def _accept_and_damping(self, delta, ns, new_err, prev_err, damping, opts):
         if not opts.adaptive_damping:
             b = new_err.shape[0]
             return jnp.ones((b,), dtype=bool), damping
         # gain ratio rho = (prev - new) / (0.5 * delta . (damping*D*delta + Atb))
         # (reference levenberg_marquardt.py:173-201)
-        diag = jnp.diagonal(AtA, axis1=-2, axis2=-1)
-        dvec = damping_diag(diag, damping, opts.ellipsoidal_damping)
-        den = 0.5 * jnp.sum(delta * (dvec * delta + Atb), axis=-1)
+        dvec = damping_diag(ns.diag(), damping, opts.ellipsoidal_damping)
+        den = 0.5 * jnp.sum(delta * (dvec * delta + ns.Atb), axis=-1)
         den = jnp.where(den == 0, 1e-12, den)
         rho = (prev_err - new_err) / den
         reject = rho <= opts.damping_accept
@@ -329,12 +333,12 @@ class Dogleg(NonlinearLeastSquares):
     def _init_scalar_state(self, opts: NLSOptions) -> float:
         return opts.trust_region_init
 
-    def compute_delta(self, AtA, Atb, trust_region, opts: NLSOptions):
-        delta_gn, fail = self.linear_solver.solve(AtA, Atb, 0.0, False)
+    def compute_delta(self, ns, trust_region, opts: NLSOptions):
+        delta_gn, fail = ns.solve(0.0, False)
         tr2 = (trust_region**2)[:, None]
 
-        delta_sd = Atb  # steepest descent direction (grad = -Atb)
-        sd_AtA_sd = jnp.einsum("bi,bij,bj->b", delta_sd, AtA, delta_sd)[:, None]
+        delta_sd = ns.Atb  # steepest descent direction (grad = -Atb)
+        sd_AtA_sd = ns.quad(delta_sd)[:, None]
         grad_norm_2 = jnp.sum(delta_sd**2, axis=-1, keepdims=True)
         cauchy_step = grad_norm_2 / (sd_AtA_sd + Dogleg.EPS)
         delta_c = delta_sd * cauchy_step
@@ -358,10 +362,10 @@ class Dogleg(NonlinearLeastSquares):
         delta = jnp.where(gn_within, delta_gn, jnp.where(c_within, delta_interp, delta_trunc))
         return delta, fail
 
-    def _accept_and_damping(self, delta, AtA, Atb, new_err, prev_err, trust_region, opts):
+    def _accept_and_damping(self, delta, ns, new_err, prev_err, trust_region, opts):
         # rho = actual/predicted reduction (reference trust_region.py:91-113)
-        Ad2 = jnp.einsum("bi,bij,bj->b", delta, AtA, delta)
-        pred_err = prev_err - jnp.sum(delta * Atb, axis=-1) + 0.5 * Ad2
+        Ad2 = ns.quad(delta)
+        pred_err = prev_err - jnp.sum(delta * ns.Atb, axis=-1) + 0.5 * Ad2
         den = prev_err - pred_err
         den = jnp.where(den == 0, 1e-12, den)
         rho = (prev_err - new_err) / den

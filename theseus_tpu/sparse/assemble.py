@@ -1,0 +1,175 @@
+"""Block AtA / Atb assembly from per-bucket jacobian blocks.
+
+The TPU-native replacement for the reference's CSR-value writing + sparse
+MtM kernels (optimizer/sparse_linearization.py:102, extlib/mat_mult.cu:36):
+because the block pattern is static, assembly is a handful of batched
+einsums (MXU) followed by scatter-adds with precomputed indices. All blocks
+are padded to a uniform dof `d`; padding dims get identity diagonals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.compiled import CompiledObjective
+
+
+@dataclasses.dataclass
+class BlockPattern:
+    """Static AtA block pattern + scatter schedules (numpy)."""
+
+    n_vars: int
+    d: int  # uniform (max) block dof
+    var_dofs: np.ndarray  # (n,) true dof per var
+    pair_slot: Dict[Tuple[int, int], int]  # canonical (i<=j) -> slot (1-based)
+    n_slots: int  # number of stored blocks + 1 (slot 0 = zero sentinel)
+    pairs: Set[Tuple[int, int]]  # off-diagonal canonical pairs
+    # per bucket: list over (s, t) pairs of
+    #   (s, t, tgt_slot (K,), needs_T (K,), also_diag (K,))
+    bucket_pair_sched: List[List[Tuple[int, int, np.ndarray, np.ndarray, np.ndarray]]]
+    # per bucket: per slot s, global var ids (K,)
+    bucket_gvars: List[List[np.ndarray]]
+    pad_diag: np.ndarray  # (n, d) 1.0 on padding dims of each var's diag block
+    dof_mask: np.ndarray  # (n, d) 1.0 on true dims
+
+
+def build_block_pattern(co: CompiledObjective) -> BlockPattern:
+    var_index = {n: i for i, n in enumerate(co.var_names)}
+    n_vars = len(co.var_names)
+    var_dofs = np.array([co.var_groups[n].dof for n in co.var_names])
+    d = int(var_dofs.max())
+
+    pair_slot: Dict[Tuple[int, int], int] = {}
+    pairs: Set[Tuple[int, int]] = set()
+    slot = 1
+    for i in range(n_vars):  # diagonal blocks first
+        pair_slot[(i, i)] = slot
+        slot += 1
+
+    bucket_gvars: List[List[np.ndarray]] = []
+    bucket_pair_sched: List[List] = []
+    for bk in co.buckets:
+        gvars = []
+        for s in bk.optim_slots:
+            names = [co.type_members[s.type_key][i] for i in s.idx]
+            gvars.append(np.array([var_index[nm] for nm in names]))
+        bucket_gvars.append(gvars)
+
+        sched = []
+        nslots = len(bk.optim_slots)
+        for s in range(nslots):
+            for t in range(s, nslots):
+                gi, gj = gvars[s], gvars[t]
+                tgt = np.empty(bk.k, dtype=np.int64)
+                needs_t = np.zeros(bk.k, dtype=bool)
+                also_diag = np.zeros(bk.k, dtype=bool)
+                for k in range(bk.k):
+                    a, b = int(gi[k]), int(gj[k])
+                    lo, hi = (a, b) if a <= b else (b, a)
+                    if (lo, hi) not in pair_slot:
+                        pair_slot[(lo, hi)] = slot
+                        slot += 1
+                        pairs.add((lo, hi))
+                    tgt[k] = pair_slot[(lo, hi)]
+                    # store J_s^T J_t at canonical orientation (lo, hi):
+                    # value is rows=lo, cols=hi; contribution C has rows=a
+                    needs_t[k] = a > b
+                    # same var in two slots of one cost: diagonal gets C + C^T
+                    also_diag[k] = (s != t) and (a == b)
+                sched.append((s, t, tgt, needs_t, also_diag))
+        bucket_pair_sched.append(sched)
+
+    pad_diag = np.zeros((n_vars, d))
+    dof_mask = np.zeros((n_vars, d))
+    for i, dv in enumerate(var_dofs):
+        pad_diag[i, dv:] = 1.0
+        dof_mask[i, :dv] = 1.0
+
+    return BlockPattern(
+        n_vars=n_vars,
+        d=d,
+        var_dofs=var_dofs,
+        pair_slot=pair_slot,
+        n_slots=slot,
+        pairs=pairs,
+        bucket_pair_sched=bucket_pair_sched,
+        bucket_gvars=bucket_gvars,
+        pad_diag=pad_diag,
+        dof_mask=dof_mask,
+    )
+
+
+def _pad_jac(jac, d):
+    """(K, B, dim, dof) -> (K, B, dim, d)."""
+    dof = jac.shape[-1]
+    if dof == d:
+        return jac
+    pad = [(0, 0)] * (jac.ndim - 1) + [(0, d - dof)]
+    return jnp.pad(jac, pad)
+
+
+def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
+    """blocks = co.linearize_blocks(state, aux). Returns
+    (ata_flat (n_slots, B, d, d), atb (n_vars, B, d)); ata slot 0 is zeros;
+    padding dims carry identity diagonals so factorization is well-posed."""
+    d = pattern.d
+    some_err = blocks[0][1]
+    bsz = some_err.shape[1]
+    dtype = some_err.dtype
+
+    ata = jnp.zeros((pattern.n_slots, bsz, d, d), dtype=dtype)
+    atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=dtype)
+
+    for bi, (jacs, err) in enumerate(blocks):
+        jacs_p = [_pad_jac(j, d) for j in jacs]
+        # Atb contributions: -J_s^T e  (b = -err convention)
+        for s, gv in enumerate(pattern.bucket_gvars[bi]):
+            contrib = -jnp.einsum("kbmi,kbm->kbi", jacs_p[s], err)
+            atb = atb.at[gv].add(contrib)
+        for (s, t, tgt, needs_t, also_diag) in pattern.bucket_pair_sched[bi]:
+            C = jnp.einsum("kbmi,kbmj->kbij", jacs_p[s], jacs_p[t])
+            Cc = jnp.where(
+                needs_t[:, None, None, None], jnp.swapaxes(C, -1, -2), C
+            )
+            ata = ata.at[tgt].add(Cc)
+            if also_diag.any():
+                extra = jnp.where(
+                    also_diag[:, None, None, None], jnp.swapaxes(Cc, -1, -2), 0.0
+                )
+                ata = ata.at[tgt].add(extra)
+
+    # identity on padding dims of diagonal blocks
+    diag_slots = np.arange(1, pattern.n_vars + 1)
+    eye_pad = jnp.einsum(
+        "nd,de->nde", jnp.asarray(pattern.pad_diag, dtype), jnp.eye(d, dtype=dtype)
+    ) * jnp.eye(d, dtype=dtype)
+    ata = ata.at[diag_slots].add(eye_pad[:, None])
+    return ata, atb
+
+
+def apply_block_damping(pattern: BlockPattern, ata, damping, ellipsoidal: bool, eps: float):
+    """diag <- diag*(1+a) + b on true dofs of diagonal blocks (the alpha/beta
+    convention shared by all reference sparse backends,
+    optimizer/linear/utils.py:14, extlib/mat_mult.cu:297)."""
+    d = pattern.d
+    dtype = ata.dtype
+    damping = jnp.asarray(damping, dtype)
+    if damping.ndim == 0:
+        damping = jnp.broadcast_to(damping, (ata.shape[1],))
+    if ellipsoidal:
+        alpha, beta = damping, jnp.asarray(eps, dtype)
+    else:
+        alpha, beta = jnp.zeros_like(damping), damping
+    diag_slots = np.arange(1, pattern.n_vars + 1)
+    dmask = jnp.asarray(pattern.dof_mask, dtype)  # (n, d)
+    dblocks = ata[diag_slots]  # (n, B, d, d)
+    eye = jnp.eye(d, dtype=dtype)
+    beta = jnp.broadcast_to(jnp.asarray(beta, dtype), alpha.shape)
+    diag = jnp.diagonal(dblocks, axis1=-2, axis2=-1)  # (n, B, d)
+    add = alpha[None, :, None] * diag + beta[None, :, None] * dmask[:, None, :]
+    new_dblocks = dblocks + add[..., None] * eye
+    return ata.at[diag_slots].set(new_dblocks)

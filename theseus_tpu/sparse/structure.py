@@ -1,0 +1,183 @@
+"""Symbolic analysis for the batched block-sparse Cholesky.
+
+The TPU-native replacement for BaSpaCho's symbolic layer
+(reference extlib/baspacho_solver.h:88 SymbolicDecomposition): everything
+data-dependent is computed HERE, in numpy at setup time — block adjacency,
+fill-reducing ordering, elimination pattern, and the padded static gather
+tables that drive the `lax.scan` factorization (sparse/cholesky.py). At run
+time there is no dynamic shape anywhere.
+
+Layout: n variables, each padded to a uniform block dof `d` (mixed-dof
+problems pad to the max; padding dims carry identity diagonals so the
+factorization is well-posed). The factor L is stored as a flat array of
+blocks (nnzL+1, B, d, d); slot 0 is a zero sentinel for masked gathers and a
+scratch target for masked scatters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+
+def rcm_ordering(n: int, pairs: Set[Tuple[int, int]]) -> np.ndarray:
+    """Reverse Cuthill-McKee on the block adjacency (scipy-backed)."""
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    if not pairs:
+        return np.arange(n)
+    rows, cols = zip(*pairs)
+    a = sp.coo_matrix(
+        (np.ones(len(rows)), (rows, cols)), shape=(n, n)
+    ).tocsr()
+    a = a + a.T
+    perm = reverse_cuthill_mckee(a, symmetric_mode=True)
+    return np.asarray(perm)
+
+
+def amd_ordering(n: int, pairs: Set[Tuple[int, int]]) -> np.ndarray:
+    """Approximate-minimum-degree-style greedy ordering (pure Python).
+
+    A simple exact-degree greedy MD with element absorption — adequate for
+    setup-time use at the problem sizes the block solver targets."""
+    adj: List[Set[int]] = [set() for _ in range(n)]
+    for i, j in pairs:
+        if i != j:
+            adj[i].add(j)
+            adj[j].add(i)
+    alive = set(range(n))
+    perm = []
+    while alive:
+        j = min(alive, key=lambda v: (len(adj[v] & alive), v))
+        perm.append(j)
+        alive.discard(j)
+        nbrs = adj[j] & alive
+        for u in nbrs:
+            adj[u] |= nbrs
+            adj[u].discard(u)
+    return np.asarray(perm)
+
+
+@dataclasses.dataclass
+class SymbolicFactor:
+    """Static factorization schedule (all numpy, trace-time constants)."""
+
+    n: int  # number of block columns
+    d: int  # uniform block dof
+    perm: np.ndarray  # (n,) new-order -> old-var
+    iperm: np.ndarray  # (n,) old-var -> new-order
+    # lower-triangle pattern of L in permuted order
+    col_rows: List[np.ndarray]  # per column j: sorted rows (including j first)
+    nnz_l: int
+    rmax: int  # max blocks per column
+    umax: int  # max left-looking updates per column
+    # flat-slot tables, shapes (n, rmax) / (n, umax, rmax) / (n, umax)
+    col_slots: np.ndarray  # slot of L[row, j] in Lflat (0 = unused)
+    col_row_ids: np.ndarray  # row index per (j, r) (-1 = unused)
+    upd_slots: np.ndarray  # (n, umax, rmax) slot of L[row_r, k_u] (0 pad)
+    upd_jk_slots: np.ndarray  # (n, umax) slot of L[j, k_u] (0 pad)
+    upd_k: np.ndarray  # (n, umax) the update column indices k (-1 pad)
+    # solve schedules
+    block_of: Dict[Tuple[int, int], int]  # (row, col) -> slot (lower tri)
+
+
+def symbolic_factor(
+    n: int,
+    pairs: Set[Tuple[int, int]],
+    d: int,
+    ordering: str = "amd",
+) -> SymbolicFactor:
+    """Compute fill pattern + static left-looking schedule.
+
+    pairs: set of undirected off-diagonal block pairs (i, j), original ids."""
+    if ordering == "amd":
+        perm = amd_ordering(n, pairs)
+    elif ordering == "rcm":
+        perm = rcm_ordering(n, pairs)
+    elif ordering == "natural":
+        perm = np.arange(n)
+    else:
+        raise ValueError(f"unknown ordering {ordering}")
+    iperm = np.empty(n, dtype=np.int64)
+    iperm[perm] = np.arange(n)
+
+    # permuted adjacency, lower triangle: for each column, rows > col
+    below: List[Set[int]] = [set() for _ in range(n)]
+    for i, j in pairs:
+        pi, pj = iperm[i], iperm[j]
+        lo, hi = (pi, pj) if pi < pj else (pj, pi)
+        if lo != hi:
+            below[lo].add(hi)
+
+    # symbolic fill via the standard elimination-pattern recurrence:
+    # pattern(j) ⊇ rows of A below j, plus pattern(k)\{j} for each child k
+    # (children = columns whose first below-diagonal row is j)
+    pattern: List[Set[int]] = [set(below[j]) for j in range(n)]
+    for j in range(n):
+        if pattern[j]:
+            parent = min(pattern[j])
+            pattern[parent] |= pattern[j] - {parent}
+
+    col_rows: List[np.ndarray] = []
+    for j in range(n):
+        rows = np.array([j] + sorted(pattern[j]), dtype=np.int64)
+        col_rows.append(rows)
+
+    # flat slot ids: slot 0 reserved as sentinel/scratch
+    block_of: Dict[Tuple[int, int], int] = {}
+    slot = 1
+    for j in range(n):
+        for r in col_rows[j]:
+            block_of[(int(r), j)] = slot
+            slot += 1
+    nnz_l = slot - 1
+    rmax = max(len(r) for r in col_rows)
+
+    # left-looking updates: for column j, every k < j with (j, k) in L
+    upd_lists: List[List[int]] = [[] for _ in range(n)]
+    for k in range(n):
+        for r in col_rows[k][1:]:
+            upd_lists[int(r)].append(k)
+    umax = max((len(u) for u in upd_lists), default=1)
+    umax = max(umax, 1)
+
+    col_slots = np.zeros((n, rmax), dtype=np.int64)
+    col_row_ids = np.full((n, rmax), -1, dtype=np.int64)
+    upd_slots = np.zeros((n, umax, rmax), dtype=np.int64)
+    upd_jk_slots = np.zeros((n, umax), dtype=np.int64)
+    upd_k = np.full((n, umax), -1, dtype=np.int64)
+
+    for j in range(n):
+        rows = col_rows[j]
+        rpos = {int(r): t for t, r in enumerate(rows)}
+        for t, r in enumerate(rows):
+            col_slots[j, t] = block_of[(int(r), j)]
+            col_row_ids[j, t] = int(r)
+        for u, k in enumerate(upd_lists[j]):
+            upd_jk_slots[j, u] = block_of[(j, k)]
+            upd_k[j, u] = k
+            # rows of column k that are also rows of column j (>= j)
+            for r in col_rows[k]:
+                r = int(r)
+                if r in rpos:
+                    upd_slots[j, u, rpos[r]] = block_of[(r, k)]
+
+    return SymbolicFactor(
+        n=n,
+        d=d,
+        perm=perm,
+        iperm=iperm,
+        col_rows=col_rows,
+        nnz_l=nnz_l,
+        rmax=rmax,
+        umax=umax,
+        col_slots=col_slots,
+        col_row_ids=col_row_ids,
+        upd_slots=upd_slots,
+        upd_jk_slots=upd_jk_slots,
+        upd_k=upd_k,
+        block_of=block_of,
+    )
