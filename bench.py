@@ -26,36 +26,23 @@ N_ITERS = 10
 BASELINE_REF_MS = 60.879
 
 
-def build(n_poses=N_POSES, batch=BATCH, dtype=jnp.float32, seed=0):
+def build(n_poses=N_POSES, batch=BATCH, dtype=jnp.float32, seed=0,
+          linearization="dense"):
     import theseus_tpu as tt
-    from theseus_tpu import lie
+    from theseus_tpu.utils.examples.pose_graph import (
+        build_pgo_objective, pose_values, synthetic_pose_graph)
 
-    g = lie.SE3
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, 3 * n_poses + 4)
-    gt = [g.identity(batch, dtype=dtype)]
-    for i in range(1, n_poses):
-        step = g.exp(0.3 * jax.random.normal(keys[i], (batch, 6), dtype=dtype))
-        gt.append(jax.vmap(g.compose)(gt[-1], step))
-
-    obj = tt.Objective(dtype=dtype)
-    poses = [tt.SE3(name=f"pose_{i}") for i in range(n_poses)]
-    obj.add(tt.Local(poses[0], gt[0], tt.ScaleCostWeight(jnp.asarray(10.0, dtype)), name="prior"))
-    edges = [(i, i + 1) for i in range(n_poses - 1)] + [(n_poses - 1, 0), (0, n_poses // 2)]
-    for ei, (i, j) in enumerate(edges):
-        rel = jax.vmap(g.compose)(jax.vmap(g.inverse)(gt[i]), gt[j])
-        nz = g.exp(0.05 * jax.random.normal(keys[n_poses + ei % n_poses], (batch, 6), dtype=dtype))
-        obj.add(tt.Between(poses[i], poses[j], jax.vmap(g.compose)(rel, nz), name=f"e{ei}"))
-    init = {
-        f"pose_{i}": jax.vmap(g.compose)(
-            gt[i], g.exp(0.2 * jax.random.normal(keys[2 * n_poses + i % n_poses], (batch, 6), dtype=dtype))
-        )
-        for i in range(n_poses)
-    }
-    opt = tt.LevenbergMarquardt(obj, max_iterations=N_ITERS, adaptive_damping=True)
+    gt, edges, meas, init = synthetic_pose_graph(
+        n_poses=n_poses, batch=batch, seed=seed, dtype=dtype
+    )
+    obj, poses = build_pgo_objective(n_poses, edges, meas, gt[0], dtype=dtype)
+    opt = tt.LevenbergMarquardt(
+        obj, max_iterations=N_ITERS, adaptive_damping=True,
+        linearization=linearization,
+    )
     layer = tt.TheseusLayer(opt)
     co = obj.compile()
-    values = obj.default_values(init)
+    values = obj.default_values(pose_values(init))
     state = co.pack(values, batch)
     aux = co.build_aux(values, batch)
     return layer, state, aux

@@ -29,7 +29,23 @@ from .core import (
 )
 from .core import SE2, SE3, SO2, SO3, Point2, Point3, Vector
 from .layer import TheseusLayer
-from .embodied import Between, Difference, Local, MovingFrameBetween, Reprojection
+from .embodied import (
+    Between,
+    Collision2D,
+    Difference,
+    DoubleIntegrator,
+    EffectorObjectContactPlanar,
+    GPCostWeight,
+    GPMotionModel,
+    HingeCost,
+    IdentityModel,
+    Local,
+    MovingFrameBetween,
+    Nonholonomic,
+    QuasiStaticPushingPlanar,
+    Reprojection,
+    UrdfRobotModel,
+)
 from .optim import (
     DenseCholeskySolver,
     DenseLUSolver,

@@ -84,3 +84,27 @@ def get_eps(namespace: str, name: str, dtype) -> float:
 
 def default_float() -> jnp.dtype:
     return jnp.zeros(0).dtype
+
+
+# ---------------------------------------------------------------------------
+# Matmul precision for solver-critical paths. On TPU, f32 matmuls default to
+# bf16 MXU passes; second-order solvers (J^T J assembly, Cholesky updates,
+# substitutions) need full f32 accumulation or convergence collapses. The
+# context is applied at trace time around every solve entry point.
+# ---------------------------------------------------------------------------
+import contextlib
+
+import jax
+
+SOLVER_MATMUL_PRECISION = "highest"
+
+
+def set_solver_precision(precision: str) -> None:
+    """'highest' (3-pass f32, default) | 'high' | 'default' (fastest)."""
+    global SOLVER_MATMUL_PRECISION
+    SOLVER_MATMUL_PRECISION = precision
+
+
+def solver_precision():
+    """Context manager applied around solver tracing."""
+    return jax.default_matmul_precision(SOLVER_MATMUL_PRECISION)

@@ -15,6 +15,7 @@ from typing import Dict, Optional
 
 import jax.numpy as jnp
 
+from ..config import solver_precision
 from .compiled import CompiledObjective, compile_objective
 from .cost_function import CostFunction
 from .variable import ManifoldVariable, Variable
@@ -119,7 +120,8 @@ class Objective:
         b = co.resolve_batch_size(values)
         state = co.pack(values, b)
         aux = co.build_aux(values, b)
-        return co.error(state, aux)
+        with solver_precision():
+            return co.error(state, aux)
 
     def error_metric(self, values: Optional[Dict] = None, input_tensors: Optional[Dict] = None):
         """0.5*||e||^2 per batch element."""
@@ -128,4 +130,5 @@ class Objective:
         b = co.resolve_batch_size(values)
         state = co.pack(values, b)
         aux = co.build_aux(values, b)
-        return co.error_metric(state, aux)
+        with solver_precision():
+            return co.error_metric(state, aux)

@@ -27,6 +27,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .config import solver_precision
 from .optim.nonlinear import NLSOptions, NonlinearLeastSquares, OptimizerInfo
 
 BACKWARD_MODES = ("unroll", "implicit", "truncated", "dlm")
@@ -88,6 +89,12 @@ class TheseusLayer:
 
     def _solve(self, state, aux, mode: str, opts: NLSOptions,
                backward_num_iterations: int = 5, keep_step_size: bool = False):
+        with solver_precision():
+            return self._solve_inner(state, aux, mode, opts,
+                                     backward_num_iterations, keep_step_size)
+
+    def _solve_inner(self, state, aux, mode: str, opts: NLSOptions,
+                     backward_num_iterations: int = 5, keep_step_size: bool = False):
         opt = self.optimizer
         if mode == "unroll":
             carry = opt.init_carry(state, aux, opts)

@@ -23,6 +23,7 @@ from typing import Any, Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..config import solver_precision
 from ..core.compiled import CompiledObjective
 from .linear import DenseCholeskySolver, damping_diag
 from .normal import DenseNormalBuilder, SparseNormalBuilder
@@ -135,7 +136,8 @@ class NonlinearLeastSquares:
         co = self.compiled
         b = co.batch_size(state)
         dtype = co.state_dtype(state)
-        err = co.error_metric(state, aux)
+        with solver_precision():
+            err = co.error_metric(state, aux)
         carry = {
             "state": state,
             "err": err,
@@ -161,6 +163,12 @@ class NonlinearLeastSquares:
         return jnp.ones((b,), dtype=bool), damping
 
     def iteration(self, carry, aux, opts: NLSOptions, detach_hessian=False, force_update=False, step_size=None):
+        with solver_precision():
+            return self._iteration_inner(
+                carry, aux, opts, detach_hessian, force_update, step_size
+            )
+
+    def _iteration_inner(self, carry, aux, opts: NLSOptions, detach_hessian=False, force_update=False, step_size=None):
         co = self.compiled
         state = carry["state"]
         ns = self.normal_builder.build(state, aux, detach_hessian)
@@ -273,8 +281,9 @@ class NonlinearLeastSquares:
         opts = dataclasses.replace(self.opts, **kwargs) if kwargs else self.opts
 
         def solve(state, aux):
-            carry = self.init_carry(state, aux, opts)
-            carry = self.run_while(carry, aux, opts.max_iterations, opts)
+            with solver_precision():
+                carry = self.init_carry(state, aux, opts)
+                carry = self.run_while(carry, aux, opts.max_iterations, opts)
             return carry
 
         carry = jax.jit(solve)(state, aux)
