@@ -9,6 +9,16 @@ Naming parity: `theseus_tpu.SE3(...)` etc. construct *variables* (like
 `torchlie.functional`).
 """
 
+import jax as _jax
+
+# On TPU, f32 matmuls default to bf16 MXU passes. For a second-order-solver /
+# Lie-geometry library this is wrong-by-default: chained 3x3/3x4 composes
+# drift off the manifold and J^T J systems lose the digits Cholesky needs
+# (observed: PGO convergence collapse). The matmuls here are tiny, so full
+# f32 costs little; users who want bf16 in their own cost models can pass
+# explicit `precision=` there.
+_jax.config.update("jax_default_matmul_precision", "highest")
+
 from . import lie
 from .config import set_global_params
 from .core import (
@@ -52,6 +62,7 @@ from .optim import (
     Dogleg,
     GaussNewton,
     LevenbergMarquardt,
+    LinearOptimizer,
     NonlinearOptimizerStatus,
     OptimizerInfo,
 )

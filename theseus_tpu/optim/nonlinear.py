@@ -382,3 +382,17 @@ class Dogleg(NonlinearLeastSquares):
         tr = jnp.where(rho > opts.expand_threshold, tr * opts.expand_ratio, tr)
         tr = jnp.clip(tr, opts.min_trust_region, opts.max_trust_region)
         return rho >= opts.accept_threshold, tr
+
+
+class LinearOptimizer(NonlinearLeastSquares):
+    """Single linearize+solve+retract (reference optimizer/linear/
+    linear_optimizer.py:25): for objectives that are exactly least squares."""
+
+    method = "linear"
+
+    def __init__(self, objective, **kwargs):
+        kwargs.setdefault("max_iterations", 1)
+        super().__init__(objective, **kwargs)
+
+    def compute_delta(self, ns, damping, opts: NLSOptions):
+        return ns.solve(0.0, False)

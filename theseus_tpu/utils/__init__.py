@@ -1,1 +1,9 @@
 from . import examples
+from .checks import (
+    autodiff_jacobian,
+    build_mlp,
+    check_jacobians,
+    gather_from_rows_cols,
+    numeric_jacobian,
+)
+from .timer import Profiler, Timer
