@@ -27,6 +27,7 @@ from .core import (
     CostWeight,
     DiagonalCostWeight,
     GemanMcClureLoss,
+    GNCRobustCostFunction,
     HingeLoss,
     HuberLoss,
     ManifoldVariable,
@@ -57,6 +58,7 @@ from .embodied import (
     UrdfRobotModel,
 )
 from .optim import (
+    DCEM,
     DenseCholeskySolver,
     DenseLUSolver,
     Dogleg,
@@ -66,5 +68,6 @@ from .optim import (
     NonlinearOptimizerStatus,
     OptimizerInfo,
 )
+from .optim.gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
 
 __version__ = "0.1.0"

@@ -1,5 +1,10 @@
 from .compiled import CompiledObjective, compile_objective
-from .cost_function import AutoDiffCostFunction, CostFunction, RobustCostFunction
+from .cost_function import (
+    AutoDiffCostFunction,
+    CostFunction,
+    GNCRobustCostFunction,
+    RobustCostFunction,
+)
 from .cost_weight import CostWeight, DiagonalCostWeight, ScaleCostWeight
 from .objective import Objective
 from .robust_loss import GemanMcClureLoss, HingeLoss, HuberLoss, WelschLoss

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..lie import Group
-from .cost_function import CostFunction, RobustCostFunction
+from .cost_function import CostFunction, GNCRobustCostFunction, RobustCostFunction
 
 
 @dataclasses.dataclass(frozen=True)
@@ -187,8 +187,11 @@ class CompiledObjective:
                 err = template.error_impl(optim, aux)
                 werr, _ = weight.apply(err, None, waux)
                 if bucket.robust:
-                    log_radius = aux[-1][..., 0]
-                    werr = template.robust_apply_error(werr, log_radius)
+                    if bucket.gnc:
+                        log_radius, mu = aux[-2][..., 0], aux[-1][..., 0]
+                    else:
+                        log_radius, mu = aux[-1][..., 0], None
+                    werr = template.robust_apply_error(werr, log_radius, mu)
                 return werr
 
         else:
@@ -201,8 +204,11 @@ class CompiledObjective:
                 jacs, err = jfn(optim, aux)
                 werr, wjacs = weight.apply(err, jacs, waux)
                 if bucket.robust:
-                    log_radius = aux[-1][..., 0]
-                    rescale = template.robust_rescale(werr, log_radius)
+                    if bucket.gnc:
+                        log_radius, mu = aux[-2][..., 0], aux[-1][..., 0]
+                    else:
+                        log_radius, mu = aux[-1][..., 0], None
+                    rescale = template.robust_rescale(werr, log_radius, mu)
                     if template.flatten_dims:
                         werr = rescale * werr
                         wjacs = [rescale[:, None] * j for j in wjacs]
@@ -286,6 +292,36 @@ class CompiledObjective:
 
     def batch_size(self, state):
         return next(iter(state.values())).shape[1]
+
+    # -- raw-coordinate flattening (for sampling-based optimizers) -------
+    @property
+    def total_raw_dim(self) -> int:
+        return sum(
+            int(np.prod(self.var_groups[n].shape)) for n in self.var_names
+        )
+
+    def flatten_raw(self, state):
+        """state -> (B, total_raw_dim), vars in insertion order."""
+        b = self.batch_size(state)
+        parts = []
+        for n in self.var_names:
+            g = self.var_groups[n]
+            arr = state[g.name][self.type_index[n]]  # (B, *shape)
+            parts.append(arr.reshape(b, -1))
+        return jnp.concatenate(parts, axis=-1)
+
+    def unflatten_raw(self, vec):
+        """(B, total_raw_dim) -> state (no manifold projection applied)."""
+        b = vec.shape[0]
+        per_type: Dict[str, list] = {tk: [None] * len(ms) for tk, ms in self.type_members.items()}
+        off = 0
+        for n in self.var_names:
+            g = self.var_groups[n]
+            size = int(np.prod(g.shape))
+            arr = vec[:, off : off + size].reshape((b,) + tuple(g.shape))
+            per_type[g.name][self.type_index[n]] = arr
+            off += size
+        return {tk: jnp.stack(arrs, axis=0) for tk, arrs in per_type.items()}
 
 
 def compile_objective(objective) -> CompiledObjective:
@@ -387,7 +423,7 @@ def compile_objective(objective) -> CompiledObjective:
                 aux_slots=tuple(aux_slots),
                 weight_slots=tuple(weight_slots),
                 robust=robust,
-                gnc=robust and t0.loss_cls.is_gnc,
+                gnc=isinstance(t0, GNCRobustCostFunction),
             )
         )
         row_offset += len(members) * t0.dim()

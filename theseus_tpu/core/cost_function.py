@@ -212,3 +212,33 @@ class RobustCostFunction(CostFunction):
             self.flatten_dims,
             self.cost_function.schema(),
         )
+
+
+class GNCRobustCostFunction(RobustCostFunction):
+    """Robust cost with a graduated-non-convexity control value mu as an
+    extra aux variable (reference core/robust_cost_function.py:176): the
+    outer loop anneals mu from large (near-quadratic) toward 1 (full robust
+    loss). aux layout: inner aux + (log_loss_radius, gnc_control_val)."""
+
+    def __init__(self, cost_function, loss_cls, log_loss_radius,
+                 gnc_control_val, flatten_dims: bool = False, name=None):
+        if not getattr(loss_cls, "is_gnc", False):
+            raise ValueError(f"{loss_cls.__name__} is not a GNC-capable loss.")
+        super().__init__(cost_function, loss_cls, log_loss_radius,
+                         flatten_dims=flatten_dims, name=name)
+        gnc_control_val = as_variable(gnc_control_val)
+        self.gnc_control_val = gnc_control_val
+        self.aux_vars = tuple(self.aux_vars) + (gnc_control_val,)
+
+    def error_impl(self, optim, aux):
+        return self.cost_function.error_impl(optim, aux[:-2])
+
+    def jacobians_impl(self, optim, aux):
+        return self.cost_function.jacobians_impl(optim, aux[:-2])
+
+    def jacobians_fn(self):
+        inner = self.cost_function.jacobians_fn()
+        return lambda optim, aux: inner(optim, aux[:-2])
+
+    def schema(self):
+        return ("GNC",) + super().schema()

@@ -148,6 +148,64 @@ class TheseusLayer:
         return out
 
     # ------------------------------------------------------------------
+    def compute_samples(self, values=None, input_tensors=None, n_samples: int = 10,
+                        temperature: float = 1.0, key=None):
+        """LEO posterior sampling around the current solution via a Cholesky
+        factor of AtA (reference theseus_layer.py:99-135): x ~ N(x + delta,
+        temperature * (AtA)^{-1}), sampled as delta + L^{-T} y with
+        AtA = L L^T. Returns {name: (B, n_samples, *shape)}."""
+        import jax.numpy as jnp
+        import jax.scipy.linalg as jsl
+
+        co = self.objective.compile()
+        values = values or self.objective.default_values(input_tensors)
+        bsz = co.resolve_batch_size(values)
+        state = co.pack(values, bsz)
+        aux = co.build_aux(values, bsz)
+        key = key if key is not None else jax.random.PRNGKey(0)
+
+        from .config import solver_precision
+        from .optim.normal import DenseNormalBuilder
+
+        with solver_precision():
+            ns = DenseNormalBuilder(co, self.optimizer.linear_solver).build(state, aux)
+            delta, _ = ns.solve(0.0, False)
+            ata = ns.AtA / temperature
+            chol = jnp.linalg.cholesky(ata)  # lower L
+            y = jax.random.normal(
+                key, (bsz, co.total_dof, n_samples), dtype=delta.dtype
+            )
+            # solve L^T x = y  => x ~ N(0, (L L^T)^{-1})
+            pert = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y, lower=False)
+            deltas = delta[..., None] + pert  # (B, D, S)
+
+            def retract_one(d):
+                return co.retract(state, d)
+
+            sampled_states = jax.vmap(retract_one, in_axes=2)(deltas)  # S-leading
+        out = {}
+        unpacked = co.unpack(jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 2), sampled_states))
+        # unpacked values now have shape (B, S, *shape)? unpack indexes axis 0 of
+        # per-type stacks; after moveaxis each stack is (N, B, S, *shape)
+        for n, arr in unpacked.items():
+            out[n] = arr
+        return out
+
+    def verify_jacobians(self, num_checks: int = 1, tol: float = 1e-3) -> bool:
+        """Check analytic jacobians of every cost function against autodiff
+        (reference theseus_layer.py:151)."""
+        from .utils.checks import check_jacobians
+
+        ok = True
+        for cf in self.objective.cost_functions.values():
+            try:
+                check_jacobians(cf, num_checks=num_checks, tol=tol)
+            except RuntimeError as e:
+                print(f"Jacobian check failed for {cf.name}: {e}")
+                ok = False
+        return ok
+
+    # ------------------------------------------------------------------
     # DLM backward (reference theseus_layer.py:177-363): implemented as a
     # custom_vjp around the no-grad solve. See _dlm_backward for the math.
     def _solve_dlm(self, state, aux, opts):

@@ -9,3 +9,6 @@ from .nonlinear import (
     NonlinearOptimizerStatus,
     OptimizerInfo,
 )
+from .dcem import DCEM, DCEMOptions
+from .gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
+from .lml import lml
