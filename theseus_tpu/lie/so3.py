@@ -107,18 +107,34 @@ def _log_helper(g):
     scale = jnp.where(near_either, 1.0 + sine * sine / 6.0, theta / sine_nz)
     ret = sine_axis * scale[..., None]
 
-    # near-pi branch: pick the major diagonal axis (reference so3_impl.py:412-434)
-    ddiag = jnp.stack([g[..., 0, 0], g[..., 1, 1], g[..., 2, 2]], axis=-1)
-    major = jnp.argmax(ddiag, axis=-1)
-    sel_rows = 0.5 * (
-        jnp.take_along_axis(g, major[..., None, None], axis=-2).squeeze(-2)
-        + jnp.take_along_axis(g, major[..., None, None], axis=-1).squeeze(-1)
+    # near-pi branch: pick the major diagonal axis (reference so3_impl.py:
+    # 412-434). Selection is done with static slices + where masks instead of
+    # take_along_axis/argmax gathers: dynamic minor-dim gathers are very slow
+    # on TPU and this branch is computed unconditionally under `where`.
+    d0, d1, d2 = g[..., 0, 0], g[..., 1, 1], g[..., 2, 2]
+    is1 = (d1 > d0) & (d1 > d2)
+    is2 = (d2 > d0) & (d2 > d1)
+    is0 = ~(is1 | is2)
+    m0 = is0[..., None]
+    m1 = is1[..., None]
+    m2 = is2[..., None]
+    row = (
+        jnp.where(m0, g[..., 0, :], 0.0)
+        + jnp.where(m1, g[..., 1, :], 0.0)
+        + jnp.where(m2, g[..., 2, :], 0.0)
     )
-    one_hot = jax.nn.one_hot(major, 3, dtype=g.dtype)
-    sel_rows = sel_rows - cosine[..., None] * one_hot
+    col = (
+        jnp.where(m0, g[..., :, 0], 0.0)
+        + jnp.where(m1, g[..., :, 1], 0.0)
+        + jnp.where(m2, g[..., :, 2], 0.0)
+    )
+    one_hot = jnp.stack(
+        [is0.astype(g.dtype), is1.astype(g.dtype), is2.astype(g.dtype)], axis=-1
+    )
+    sel_rows = 0.5 * (row + col) - cosine[..., None] * one_hot
     axis_norm = jnp.linalg.norm(sel_rows, axis=-1)
     axis = sel_rows / nz(axis_norm, jnp.logical_not(near_pi))[..., None]
-    sine_major = jnp.take_along_axis(sine_axis, major[..., None], axis=-1).squeeze(-1)
+    sine_major = jnp.sum(sine_axis * one_hot, axis=-1)
     sign = jnp.where(sine_major >= 0, 1.0, -1.0).astype(g.dtype)
     w = jnp.where(near_pi[..., None], axis * (theta * sign)[..., None], ret)
     return w, (theta, sine, cosine)

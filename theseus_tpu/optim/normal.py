@@ -91,7 +91,7 @@ class SparseNormal:
 class SparseNormalBuilder:
     """Owns the static symbolic state (pattern, schedule, flatten tables)."""
 
-    def __init__(self, co: CompiledObjective, ordering: str = "amd",
+    def __init__(self, co: CompiledObjective, ordering: str = "nd",
                  damping_eps: float = 1e-8):
         self.co = co
         self.damping_eps = damping_eps

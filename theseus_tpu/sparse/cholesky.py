@@ -29,12 +29,58 @@ import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 import numpy as np
 
+from ..ops.batched_linalg import (
+    SMALL_DIM_MAX,
+    chol_small,
+    rt_solve_lower,
+    solve_lower_vec,
+    solve_upper_vec,
+)
 from .assemble import BlockPattern
 from .structure import SymbolicFactor
 
 
+def _chol(a, d):
+    return chol_small(a) if d <= SMALL_DIM_MAX else jnp.linalg.cholesky(a)
+
+
+def _col_rt_solve(ld, c_rest, d):
+    """C_r @ Ld^{-T} for c_rest (..., R, B, d, d), ld (..., B, d, d)."""
+    if d <= SMALL_DIM_MAX:
+        return rt_solve_lower(jnp.expand_dims(ld, -4), c_rest)
+    rhs = jnp.swapaxes(c_rest, -1, -2)
+    out = jsl.solve_triangular(
+        jnp.broadcast_to(jnp.expand_dims(ld, -4), rhs.shape), rhs, lower=True
+    )
+    return jnp.swapaxes(out, -1, -2)
+
+
+def _fwd_sub(l, b, d):
+    if d <= SMALL_DIM_MAX:
+        return solve_lower_vec(l, b)
+    return jsl.solve_triangular(l, b[..., None], lower=True)[..., 0]
+
+
+def _bwd_sub(lt, b, d):
+    """Solve L^T x = b given the transposed factor lt (upper)."""
+    if d <= SMALL_DIM_MAX:
+        return solve_upper_vec(lt, b)
+    return jsl.solve_triangular(lt, b[..., None], lower=False)[..., 0]
+
+
+MAX_LEVELS_FOR_LEVEL_SCHEDULE = 100
+
+
 class NumericSchedule:
-    """Static jnp index tables combining SymbolicFactor with BlockPattern."""
+    """Static numpy index tables combining SymbolicFactor with BlockPattern.
+
+    Two execution plans are prepared:
+    - per-column `lax.scan` (general; sequential over n columns)
+    - per-LEVEL batched sweeps (used when the elimination tree is shallow,
+      e.g. after nested dissection): all columns of a level are eliminated by
+      ONE batched gather/einsum/POTRF/TRSM group, so a 256-column chain costs
+      ~log2(256) device steps instead of 256. Tables are padded per level
+      (umax_l, rmax_l), eliminating most of the global-padding waste."""
 
     def __init__(self, sym: SymbolicFactor, pattern: BlockPattern):
         self.sym = sym
@@ -72,9 +118,73 @@ class NumericSchedule:
         self.perm = np.asarray(sym.perm)
         self.iperm = np.asarray(sym.iperm)
 
+        # ---- per-level plan ------------------------------------------
+        self.use_levels = (
+            sym.levels is not None
+            and len(sym.levels) <= MAX_LEVELS_FOR_LEVEL_SCHEDULE
+        )
+        self.level_tables = []
+        if self.use_levels:
+            a_src_np = np.asarray(self.a_src)
+            a_tr_np = np.asarray(self.a_tr)
+            for cols in sym.levels:
+                cols = np.asarray(cols)
+                rmax_l = max(len(sym.col_rows[int(j)]) for j in cols)
+                umax_l = max(
+                    1, max(int((sym.upd_k[int(j)] >= 0).sum()) for j in cols)
+                )
+                t = {
+                    "cols": cols,
+                    "a_src": a_src_np[cols][:, :rmax_l],
+                    "a_tr": a_tr_np[cols][:, :rmax_l],
+                    "valid": np.asarray(self.valid)[cols][:, :rmax_l],
+                    "col_slots": np.asarray(sym.col_slots)[cols][:, :rmax_l],
+                    "row_ids": np.asarray(self.col_row_ids)[cols][:, :rmax_l],
+                    "row_valid": np.asarray(self.row_valid)[cols][:, :rmax_l],
+                    "upd_slots": np.asarray(sym.upd_slots)[cols][:, :umax_l, :rmax_l],
+                    "jk_slots": np.asarray(sym.upd_jk_slots)[cols][:, :umax_l],
+                    "upd_k": np.asarray(self.upd_k)[cols][:, :umax_l],
+                    "upd_valid": np.asarray(self.upd_valid)[cols][:, :umax_l],
+                    "diag_slots": np.asarray(self.diag_slots)[cols],
+                }
+                self.level_tables.append(t)
+
 
 def factorize(sched: NumericSchedule, ata_flat):
     """ata_flat (n_slots, B, d, d) -> Lflat (nnz_l+1, B, d, d)."""
+    if sched.use_levels:
+        return _factorize_levels(sched, ata_flat)
+    return _factorize_scan(sched, ata_flat)
+
+
+def _factorize_levels(sched: NumericSchedule, ata_flat):
+    """Level-sweep elimination: one batched POTRF/TRSM/GEMM group per etree
+    level; columns within a level are independent by construction."""
+    sym = sched.sym
+    bsz = ata_flat.shape[1]
+    d = ata_flat.shape[-1]
+    dtype = ata_flat.dtype
+    lflat = jnp.zeros((sym.nnz_l + 1, bsz, d, d), dtype=dtype)
+
+    for t in sched.level_tables:
+        col_a = ata_flat[t["a_src"]]  # (C, rl, B, d, d)
+        col_a = jnp.where(
+            t["a_tr"][:, :, None, None, None], jnp.swapaxes(col_a, -1, -2), col_a
+        )
+        ks = lflat[t["upd_slots"]]  # (C, ul, rl, B, d, d)
+        kj = lflat[t["jk_slots"]]  # (C, ul, B, d, d)
+        upd = jnp.einsum("curbik,cubjk->crbij", ks, kj)
+        c = col_a - upd
+        dblk = 0.5 * (c[:, 0] + jnp.swapaxes(c[:, 0], -1, -2))
+        ld = _chol(dblk, d)  # (C, B, d, d)
+        rest = _col_rt_solve(ld, c[:, 1:], d)
+        newcol = jnp.concatenate([ld[:, None], rest], axis=1)
+        newcol = jnp.where(t["valid"][:, :, None, None, None], newcol, 0.0)
+        lflat = lflat.at[t["col_slots"]].set(newcol)
+    return lflat
+
+
+def _factorize_scan(sched: NumericSchedule, ata_flat):
     sym = sched.sym
     bsz = ata_flat.shape[1]
     d = ata_flat.shape[-1]
@@ -101,13 +211,8 @@ def factorize(sched: NumericSchedule, ata_flat):
         # symmetrize: cholesky reads the lower triangle only; the symmetric
         # read makes the custom-VJP diag cotangent exact
         dblk = 0.5 * (c[0] + jnp.swapaxes(c[0], -1, -2))
-        ld = jnp.linalg.cholesky(dblk)  # (B, d, d)
-        # L[r, j] = C[r] @ Ld^{-T}  ->  solve Ld Y = C[r]^T, L = Y^T
-        rhs = jnp.swapaxes(c[1:], -1, -2)
-        rest = jsl.solve_triangular(
-            jnp.broadcast_to(ld[None], rhs.shape), rhs, lower=True
-        )
-        rest = jnp.swapaxes(rest, -1, -2)
+        ld = _chol(dblk, d)  # (B, d, d)
+        rest = _col_rt_solve(ld, c[1:], d)
         newcol = jnp.concatenate([ld[None], rest], axis=0)
         newcol = jnp.where(valid[:, None, None, None], newcol, 0.0)
         lflat = lflat.at[c_slots].set(newcol)
@@ -119,6 +224,38 @@ def factorize(sched: NumericSchedule, ata_flat):
 
 def solve_with_factor(sched: NumericSchedule, lflat, atb):
     """Solve H x = atb given L. atb (n, B, d) original var order -> x same."""
+    if sched.use_levels:
+        return _solve_levels(sched, lflat, atb)
+    return _solve_scan(sched, lflat, atb)
+
+
+def _solve_levels(sched: NumericSchedule, lflat, atb):
+    sym = sched.sym
+    b_perm = atb[sched.perm]  # (n, B, d)
+
+    y = jnp.zeros_like(b_perm)
+    for t in sched.level_tables:
+        ljk = lflat[t["jk_slots"]]  # (C, ul, B, d, d)
+        yk = y[t["upd_k"]]  # (C, ul, B, d)
+        yk = jnp.where(t["upd_valid"][:, :, None, None], yk, 0.0)
+        acc = b_perm[t["cols"]] - jnp.einsum("cubij,cubj->cbi", ljk, yk)
+        yj = _fwd_sub(lflat[t["diag_slots"]], acc, acc.shape[-1])
+        y = y.at[t["cols"]].set(yj)
+
+    x = jnp.zeros_like(y)
+    for t in reversed(sched.level_tables):
+        lcol = lflat[t["col_slots"]]  # (C, rl, B, d, d)
+        xr = x[t["row_ids"]]  # (C, rl, B, d)
+        rl = t["row_valid"].shape[1]
+        below = t["row_valid"] & (np.arange(rl)[None, :] > 0)
+        xr = jnp.where(below[:, :, None, None], xr, 0.0)
+        acc = y[t["cols"]] - jnp.einsum("crbij,crbi->cbj", lcol, xr)
+        xj = _bwd_sub(jnp.swapaxes(lcol[:, 0], -1, -2), acc, acc.shape[-1])
+        x = x.at[t["cols"]].set(xj)
+    return x[sched.iperm]
+
+
+def _solve_scan(sched: NumericSchedule, lflat, atb):
     sym = sched.sym
     b_perm = atb[sched.perm]  # (n, B, d)
 
@@ -138,7 +275,7 @@ def solve_with_factor(sched: NumericSchedule, lflat, atb):
         yk = y[k_ids]  # (umax, B, d)
         yk = jnp.where(kvalid[:, None, None], yk, 0.0)
         acc = b_perm[j] - jnp.einsum("ubij,ubj->bi", ljk, yk)
-        yj = jsl.solve_triangular(lflat[dslot], acc[..., None], lower=True)[..., 0]
+        yj = _fwd_sub(lflat[dslot], acc, acc.shape[-1])
         return y.at[j].set(yj), None
 
     y, _ = jax.lax.scan(fwd_body, y0, fwd_xs)
@@ -159,9 +296,7 @@ def solve_with_factor(sched: NumericSchedule, lflat, atb):
         below_mask = rvalid & (jnp.arange(rvalid.shape[0]) > 0)
         xr = jnp.where(below_mask[:, None, None], xr, 0.0)
         acc = y[j] - jnp.einsum("rbij,rbi->bj", lcol, xr)
-        xj = jsl.solve_triangular(
-            jnp.swapaxes(lcol[0], -1, -2), acc[..., None], lower=False
-        )[..., 0]
+        xj = _bwd_sub(jnp.swapaxes(lcol[0], -1, -2), acc, acc.shape[-1])
         return xv.at[j].set(xj), None
 
     x, _ = jax.lax.scan(bwd_body, x0, bwd_xs)

@@ -38,6 +38,59 @@ def rcm_ordering(n: int, pairs: Set[Tuple[int, int]]) -> np.ndarray:
     return np.asarray(perm)
 
 
+def nd_ordering(n: int, pairs: Set[Tuple[int, int]], leaf_size: int = 8) -> np.ndarray:
+    """Nested dissection by recursive BFS bisection.
+
+    Purpose-built for the TPU backend: ND makes the elimination tree shallow
+    and balanced, so the level-scheduled factorization (sparse/cholesky.py)
+    eliminates O(n/2^k) columns per level as one batched kernel instead of a
+    length-n sequential scan. Separators are ordered last. BFS from a
+    pseudo-peripheral vertex picks the middle level set as separator —
+    adequate for the chain/grid/mesh graphs of PGO/BA problems."""
+    adj: List[Set[int]] = [set() for _ in range(n)]
+    for i, j in pairs:
+        if i != j:
+            adj[i].add(j)
+            adj[j].add(i)
+
+    def bfs_order(nodes: Set[int], start: int):
+        seen = {start}
+        frontier = [start]
+        levels = [[start]]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for v in adj[u]:
+                    if v in nodes and v not in seen:
+                        seen.add(v)
+                        nxt.append(v)
+            if nxt:
+                levels.append(nxt)
+            frontier = nxt
+        return levels, seen
+
+    def rec(nodes: Set[int]) -> List[int]:
+        if len(nodes) <= leaf_size:
+            return sorted(nodes)
+        start = min(nodes)
+        levels, seen = bfs_order(nodes, start)
+        missing = nodes - seen  # disconnected pieces
+        if missing:
+            return rec(seen) + rec(missing)
+        # pseudo-peripheral: restart BFS from a farthest node
+        levels, _ = bfs_order(nodes, levels[-1][0])
+        if len(levels) < 3:
+            return sorted(nodes)  # near-clique: give up splitting
+        mid = len(levels) // 2
+        sep = set(levels[mid])
+        left = set().union(*levels[:mid])
+        right = set().union(*levels[mid + 1:]) if mid + 1 < len(levels) else set()
+        return rec(left) + rec(right) + sorted(sep)
+
+    order = rec(set(range(n)))
+    return np.asarray(order)
+
+
 def amd_ordering(n: int, pairs: Set[Tuple[int, int]]) -> np.ndarray:
     """Approximate-minimum-degree-style greedy ordering (pure Python).
 
@@ -82,6 +135,8 @@ class SymbolicFactor:
     upd_k: np.ndarray  # (n, umax) the update column indices k (-1 pad)
     # solve schedules
     block_of: Dict[Tuple[int, int], int]  # (row, col) -> slot (lower tri)
+    etree_parent: np.ndarray = None  # (n,) parent column or -1
+    levels: list = None  # list of np arrays: columns per elimination level
 
 
 def symbolic_factor(
@@ -97,6 +152,8 @@ def symbolic_factor(
         perm = amd_ordering(n, pairs)
     elif ordering == "rcm":
         perm = rcm_ordering(n, pairs)
+    elif ordering == "nd":
+        perm = nd_ordering(n, pairs)
     elif ordering == "natural":
         perm = np.arange(n)
     else:
@@ -165,6 +222,22 @@ def symbolic_factor(
                 if r in rpos:
                     upd_slots[j, u, rpos[r]] = block_of[(r, k)]
 
+    # elimination tree + level schedule: parent(j) = first below-diag row of
+    # column j; level(j) = 1 + max(level(children)); columns within a level
+    # are mutually independent (no ancestor relation), enabling batched
+    # elimination per level
+    etree_parent = np.full(n, -1, dtype=np.int64)
+    for j in range(n):
+        if len(col_rows[j]) > 1:
+            etree_parent[j] = int(col_rows[j][1])
+    level_of = np.zeros(n, dtype=np.int64)
+    for j in range(n):  # children have smaller index, already assigned
+        p = etree_parent[j]
+        if p >= 0:
+            level_of[p] = max(level_of[p], level_of[j] + 1)
+    n_levels = int(level_of.max()) + 1 if n else 0
+    levels = [np.where(level_of == l)[0] for l in range(n_levels)]
+
     return SymbolicFactor(
         n=n,
         d=d,
@@ -180,4 +253,6 @@ def symbolic_factor(
         upd_jk_slots=upd_jk_slots,
         upd_k=upd_k,
         block_of=block_of,
+        etree_parent=etree_parent,
+        levels=levels,
     )
