@@ -145,6 +145,8 @@ class EffectorObjectContactPlanar(CostFunction):
 
 
 def _as_row(v):
+    if isinstance(v, Variable):
+        return v
     arr = jnp.asarray(v)
     if arr.ndim == 0:
         return arr.reshape(1, 1)

@@ -119,9 +119,14 @@ class NumericSchedule:
         self.iperm = np.asarray(sym.iperm)
 
         # ---- per-level plan ------------------------------------------
+        # level sweeps unroll one HLO segment per level (x3 with the two
+        # substitution passes), so they only pay off when the tree is shallow
+        # RELATIVE to n — otherwise the single-body scan compiles much faster
+        # with similar runtime (e.g. near-dense BA camera blocks).
         self.use_levels = (
             sym.levels is not None
             and len(sym.levels) <= MAX_LEVELS_FOR_LEVEL_SCHEDULE
+            and len(sym.levels) <= max(8, sym.n // 4)
         )
         self.level_tables = []
         if self.use_levels:

@@ -98,14 +98,16 @@ def build_pgo_objective(
         )
     )
     w = edge_weight
+    radius_var = None
+    if robust_loss_cls is not None:
+        radius_var = core.Variable(
+            jnp.full((1, 1), log_loss_radius, dtype), name="log_loss_radius"
+        )
     for ei, (i, j) in enumerate(edges):
         cost = Between(poses[i], poses[j], measurements[ei], cost_weight=w, name=f"edge_{ei}")
         if robust_loss_cls is not None:
             cost = core.RobustCostFunction(
-                cost,
-                robust_loss_cls,
-                jnp.full((1, 1), log_loss_radius, dtype),
-                name=f"redge_{ei}",
+                cost, robust_loss_cls, radius_var, name=f"redge_{ei}"
             )
         obj.add(cost)
     return obj, poses
