@@ -1,0 +1,65 @@
+"""Golden-number regression: the end-to-end numerical contract of the stack.
+
+Mirrors the reference's PGO benchmark pinning (tests/theseus_tests/
+test_pgo_benchmark.py:33-79, which pins outer-loop losses to 1e-10 across
+solvers): a robust (Welsch) SE3 pose graph with a learned loss radius; three
+outer epochs of implicit-mode gradients; losses pinned per solver backend.
+Any change to Lie numerics, the compiler, the solvers, or the backward modes
+that shifts these values beyond 1e-11 is a regression (or a deliberate
+contract change — update the constants with justification)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import theseus_tpu as tt
+from theseus_tpu.utils.examples.pose_graph import (
+    build_pgo_objective,
+    pose_values,
+    synthetic_pose_graph,
+)
+
+GOLDEN_LOSSES = [3.14612826621731e-03, 3.14612826608267e-03, 3.14612826594908e-03]
+ATOL = 1e-11
+
+
+def run(linearization):
+    gt, edges, meas, init = synthetic_pose_graph(
+        n_poses=16, batch=4, dtype=jnp.float64, seed=0
+    )
+    obj, poses = build_pgo_objective(
+        16, edges, meas, gt[0], dtype=jnp.float64,
+        robust_loss_cls=tt.WelschLoss, log_loss_radius=0.5,
+    )
+    opt = tt.LevenbergMarquardt(
+        obj, max_iterations=8, adaptive_damping=True, linearization=linearization
+    )
+    layer = tt.TheseusLayer(opt)
+    co = obj.compile()
+    values = obj.default_values(pose_values(init))
+    state = co.pack(values, 4)
+    gtf = jnp.concatenate([gt[i].reshape(4, -1) for i in range(16)], -1)
+
+    def loss_fn(log_radius):
+        v2 = dict(values)
+        v2["log_loss_radius"] = log_radius * jnp.ones((1, 1))
+        aux = co.build_aux(v2, 4)
+        carry = layer.solve_state(state, aux, "implicit", opt.opts)
+        sol = carry["state"]
+        est = jnp.concatenate([sol["SE3"][i].reshape(4, -1) for i in range(16)], -1)
+        return jnp.mean((est - gtf) ** 2)
+
+    log_r = jnp.asarray(0.5, jnp.float64)
+    losses = []
+    for _ in range(3):
+        l, g = jax.value_and_grad(loss_fn)(log_r)
+        losses.append(float(l))
+        log_r = log_r - 1.0 * g
+    return losses
+
+
+@pytest.mark.parametrize("linearization", ["dense", "sparse"])
+def test_pgo_learned_radius_golden(linearization):
+    losses = run(linearization)
+    np.testing.assert_allclose(losses, GOLDEN_LOSSES, atol=ATOL)

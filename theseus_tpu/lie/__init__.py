@@ -2,6 +2,7 @@
 
 from . import rn, se2, se3, so2, so3, utils
 from .group import SE2, SE3, SO2, SO3, Group, Point2, Point3, by_name, euclidean
+from .lie_array import LieArray
 
 __all__ = [
     "rn",
@@ -19,4 +20,5 @@ __all__ = [
     "Point3",
     "euclidean",
     "by_name",
+    "LieArray",
 ]
