@@ -60,7 +60,7 @@ def nd_ordering(n: int, pairs: Set[Tuple[int, int]], leaf_size: int = 8) -> np.n
         while frontier:
             nxt = []
             for u in frontier:
-                for v in adj[u]:
+                for v in sorted(adj[u]):  # deterministic (matches native)
                     if v in nodes and v not in seen:
                         seen.add(v)
                         nxt.append(v)
@@ -148,40 +148,57 @@ def symbolic_factor(
     """Compute fill pattern + static left-looking schedule.
 
     pairs: set of undirected off-diagonal block pairs (i, j), original ids."""
-    if ordering == "amd":
-        perm = amd_ordering(n, pairs)
-    elif ordering == "rcm":
-        perm = rcm_ordering(n, pairs)
-    elif ordering == "nd":
-        perm = nd_ordering(n, pairs)
-    elif ordering == "natural":
-        perm = np.arange(n)
+    # native (C++) fast path for ordering + fill + etree; Python fallback
+    native = None
+    if ordering in ("natural", "amd", "nd") and pairs:
+        try:
+            from ..native import native_symbolic
+
+            native = native_symbolic(n, pairs, ordering)
+        except Exception:
+            native = None
+
+    if native is not None:
+        perm, col_rows, _etree_native, _levels_native = native
+        perm = np.asarray(perm)
+        col_rows = [np.asarray(c) for c in col_rows]
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
     else:
-        raise ValueError(f"unknown ordering {ordering}")
-    iperm = np.empty(n, dtype=np.int64)
-    iperm[perm] = np.arange(n)
+        if ordering == "amd":
+            perm = amd_ordering(n, pairs)
+        elif ordering == "rcm":
+            perm = rcm_ordering(n, pairs)
+        elif ordering == "nd":
+            perm = nd_ordering(n, pairs)
+        elif ordering == "natural":
+            perm = np.arange(n)
+        else:
+            raise ValueError(f"unknown ordering {ordering}")
+        iperm = np.empty(n, dtype=np.int64)
+        iperm[perm] = np.arange(n)
 
-    # permuted adjacency, lower triangle: for each column, rows > col
-    below: List[Set[int]] = [set() for _ in range(n)]
-    for i, j in pairs:
-        pi, pj = iperm[i], iperm[j]
-        lo, hi = (pi, pj) if pi < pj else (pj, pi)
-        if lo != hi:
-            below[lo].add(hi)
+        # permuted adjacency, lower triangle: for each column, rows > col
+        below: List[Set[int]] = [set() for _ in range(n)]
+        for i, j in pairs:
+            pi, pj = iperm[i], iperm[j]
+            lo, hi = (pi, pj) if pi < pj else (pj, pi)
+            if lo != hi:
+                below[lo].add(hi)
 
-    # symbolic fill via the standard elimination-pattern recurrence:
-    # pattern(j) ⊇ rows of A below j, plus pattern(k)\{j} for each child k
-    # (children = columns whose first below-diagonal row is j)
-    pattern: List[Set[int]] = [set(below[j]) for j in range(n)]
-    for j in range(n):
-        if pattern[j]:
-            parent = min(pattern[j])
-            pattern[parent] |= pattern[j] - {parent}
+        # symbolic fill via the standard elimination-pattern recurrence:
+        # pattern(j) ⊇ rows of A below j, plus pattern(k)\{j} for each child k
+        # (children = columns whose first below-diagonal row is j)
+        pattern: List[Set[int]] = [set(below[j]) for j in range(n)]
+        for j in range(n):
+            if pattern[j]:
+                parent = min(pattern[j])
+                pattern[parent] |= pattern[j] - {parent}
 
-    col_rows: List[np.ndarray] = []
-    for j in range(n):
-        rows = np.array([j] + sorted(pattern[j]), dtype=np.int64)
-        col_rows.append(rows)
+        col_rows = []
+        for j in range(n):
+            rows = np.array([j] + sorted(pattern[j]), dtype=np.int64)
+            col_rows.append(rows)
 
     # flat slot ids: slot 0 reserved as sentinel/scratch
     block_of: Dict[Tuple[int, int], int] = {}
