@@ -124,23 +124,37 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
     ata = jnp.zeros((pattern.n_slots, bsz, d, d), dtype=dtype)
     atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=dtype)
 
+    # scatter-adds are slow on TPU; when the one-hot matrix is small enough,
+    # turn the segment reduction into a matmul that runs on the MXU
+    def seg_add(dest, idx, contrib, n_out):
+        k = contrib.shape[0]
+        if n_out * k <= (1 << 22):
+            onehot = np.zeros((n_out, k), dtype=np.float32)
+            onehot[idx, np.arange(k)] = 1.0
+            flat = contrib.reshape(k, -1)
+            add = jnp.einsum(
+                "sk,kf->sf", jnp.asarray(onehot, dtype), flat
+            ).reshape((n_out,) + contrib.shape[1:])
+            return dest + add
+        return dest.at[idx].add(contrib)
+
     for bi, (jacs, err) in enumerate(blocks):
         jacs_p = [_pad_jac(j, d) for j in jacs]
         # Atb contributions: -J_s^T e  (b = -err convention)
         for s, gv in enumerate(pattern.bucket_gvars[bi]):
             contrib = -jnp.einsum("kbmi,kbm->kbi", jacs_p[s], err)
-            atb = atb.at[gv].add(contrib)
+            atb = seg_add(atb, gv, contrib, pattern.n_vars)
         for (s, t, tgt, needs_t, also_diag) in pattern.bucket_pair_sched[bi]:
             C = jnp.einsum("kbmi,kbmj->kbij", jacs_p[s], jacs_p[t])
             Cc = jnp.where(
                 needs_t[:, None, None, None], jnp.swapaxes(C, -1, -2), C
             )
-            ata = ata.at[tgt].add(Cc)
+            ata = seg_add(ata, tgt, Cc, pattern.n_slots)
             if also_diag.any():
                 extra = jnp.where(
                     also_diag[:, None, None, None], jnp.swapaxes(Cc, -1, -2), 0.0
                 )
-                ata = ata.at[tgt].add(extra)
+                ata = seg_add(ata, tgt, extra, pattern.n_slots)
 
     # identity on padding dims of diagonal blocks
     diag_slots = np.arange(1, pattern.n_vars + 1)
