@@ -97,12 +97,13 @@ class NonlinearLeastSquares:
         rel_err_tolerance: float = 1e-8,
         **opt_kwargs,
     ):
-        if linearization not in ("dense", "sparse"):
-            raise ValueError("linearization must be 'dense' or 'sparse'")
+        if linearization not in ("dense", "sparse", "schur"):
+            raise ValueError("linearization must be 'dense', 'sparse' or 'schur'")
         self.objective = objective
         self.linear_solver = linear_solver or DenseCholeskySolver()
         self.linearization = linearization
         self.ordering = ordering
+        self.eliminate = opt_kwargs.pop("eliminate", None)
         self._normal_builder = None
         self.opts = NLSOptions(
             max_iterations=max_iterations,
@@ -123,6 +124,12 @@ class NonlinearLeastSquares:
         if self._normal_builder is None or self._normal_builder.co is not co:
             if self.linearization == "sparse":
                 self._normal_builder = SparseNormalBuilder(co, ordering=self.ordering)
+            elif self.linearization == "schur":
+                from .schur import SchurNormalBuilder, eliminate_points
+
+                self._normal_builder = SchurNormalBuilder(
+                    co, self.eliminate or eliminate_points
+                )
             else:
                 self._normal_builder = DenseNormalBuilder(co, self.linear_solver)
         return self._normal_builder

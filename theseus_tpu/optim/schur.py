@@ -1,0 +1,267 @@
+"""Schur-complement normal-equation backend for bipartite (camera-landmark)
+problems.
+
+The reference exposes no Schur solver (its sparse backends factor the full
+AtA); for bundle-adjustment-shaped problems the TPU-native approach is to
+eliminate the block-diagonal landmark subsystem in closed form and solve the
+small dense reduced camera system on the MXU:
+
+    [Hcc  Hcp][xc]   [bc]        S = Hcc - Hcp Hpp^-1 Hpc
+    [Hpc  Hpp][xp] = [bp]  =>    S xc = bc - Hcp Hpp^-1 bp
+                                 xp = Hpp^-1 (bp - Hpc xc)
+
+All landmark inverses are batched d<=8 Cholesky solves (ops/batched_linalg),
+the S assembly is per-point padded einsums + one-hot matmuls, and the reduced
+solve is one batched dense Cholesky. Shares the block AtA assembly with the
+sparse backend, so damping and custom gradients behave identically.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import jax.scipy.linalg as jsl
+import numpy as np
+
+from ..core.compiled import CompiledObjective
+from ..ops.batched_linalg import chol_small, solve_lower_vec, solve_upper_vec
+from ..sparse.assemble import apply_block_damping, assemble, build_block_pattern
+
+
+def _chol_solve_vec(l, b):
+    return solve_upper_vec(jnp.swapaxes(l, -1, -2), solve_lower_vec(l, b))
+
+
+def _chol_solve_mat(l, m):
+    """Solve (L L^T) X = M for M (..., d, k) via column solves."""
+    y = jax.vmap(lambda col: _chol_solve_vec(l, col), in_axes=-1, out_axes=-1)(m)
+    return y
+
+
+class SchurNormal:
+    def __init__(self, builder: "SchurNormalBuilder", ata, atb_blocks):
+        self.builder = builder
+        self.ata = ata
+        self.atb_blocks = atb_blocks
+        self.Atb = builder.flatten(atb_blocks)
+
+    # quad/diag shared with the sparse backend's block formulas
+    def quad(self, v):
+        bld = self.builder
+        vb = bld.unflatten(v)
+        vi, vj = vb[bld.bw_ii], vb[bld.bw_jj]
+        blocks = self.ata[bld.bw_slots]
+        terms = jnp.einsum("sbi,sbij,sbj->sb", vi, blocks, vj)
+        w = jnp.where(jnp.asarray(bld.bw_isdiag), 1.0, 2.0)[:, None]
+        return jnp.sum(terms * w, axis=0)
+
+    def diag(self):
+        bld = self.builder
+        dblocks = self.ata[1 : bld.pattern.n_vars + 1]
+        dd = jnp.diagonal(dblocks, axis1=-2, axis2=-1)
+        return bld.flatten(dd)
+
+    def solve(self, damping=0.0, ellipsoidal=False, rhs_shift=None):
+        bld = self.builder
+        d = bld.pattern.d
+        ata = apply_block_damping(bld.pattern, self.ata, damping, ellipsoidal,
+                                  bld.damping_eps)
+        rhs = self.atb_blocks
+        if rhs_shift is not None:
+            rhs = rhs - bld.unflatten(rhs_shift)
+        bsz = rhs.shape[1]
+        dtype = rhs.dtype
+        C, P = len(bld.cam_vars), len(bld.pt_vars)
+
+        # landmark block inverses via small Cholesky
+        hpp = ata[bld.pt_diag_slots]  # (P, B, d, d)
+        lpp = chol_small(0.5 * (hpp + jnp.swapaxes(hpp, -1, -2)))
+        bp = rhs[bld.pt_vars_np]  # (P, B, d)
+
+        # cp blocks oriented (cam rows, point cols)
+        hcp = ata[bld.cp_slots]  # (O, B, d, d)
+        hcp = jnp.where(bld.cp_tr[:, None, None, None], jnp.swapaxes(hcp, -1, -2), hcp)
+
+        # W_o = Hcp_o Hpp_{p(o)}^{-1}
+        lo = lpp[bld.cp_pt]  # (O, B, d, d)
+        w = jnp.swapaxes(
+            _chol_solve_mat(lo, jnp.swapaxes(hcp, -1, -2)), -1, -2
+        )  # (O, B, d, d)
+
+        # dense Hcc (B, C*d, C*d) from cc slots
+        hcc = jnp.zeros((bsz, C, C, d, d), dtype=dtype)
+        cc_blocks = ata[bld.cc_slots]  # (Ncc, B, d, d)
+        cc_blocks = jnp.where(
+            bld.cc_tr[:, None, None, None], jnp.swapaxes(cc_blocks, -1, -2), cc_blocks
+        )
+        cc_b = jnp.moveaxis(cc_blocks, 1, 0)  # (B, Ncc, d, d)
+        hcc = hcc.at[:, bld.cc_i, bld.cc_j].add(cc_b)
+        off = bld.cc_i != bld.cc_j
+        hcc = hcc.at[:, bld.cc_j[off], bld.cc_i[off]].add(
+            jnp.swapaxes(cc_b[:, off], -1, -2)
+        )
+
+        # S -= sum over points of W_k H_l^T for camera pairs (k, l) of point p
+        wg = jnp.where(
+            bld.ppad_valid[:, :, None, None, None], w[bld.ppad_obs], 0.0
+        )  # (P, K, B, d, d)
+        hg = jnp.where(
+            bld.ppad_valid[:, :, None, None, None], hcp[bld.ppad_obs], 0.0
+        )
+        pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)  # (P,K,K,B,d,d)
+        flat = pair_s.reshape(-1, bsz, d, d)
+        tgt = bld.ppad_campair  # (P*K*K,) -> ci*C+cj or C*C (dump row)
+        onehot = np.zeros((C * C + 1, tgt.shape[0]), np.float32)
+        onehot[tgt, np.arange(tgt.shape[0])] = 1.0
+        s_upd = jnp.einsum(
+            "st,tf->sf", jnp.asarray(onehot[:-1], dtype), flat.reshape(flat.shape[0], -1)
+        ).reshape(C, C, bsz, d, d)
+        hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
+
+        s_mat = (
+            jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d)
+        )
+
+        # reduced rhs: bc - sum W_o bp_{p(o)} scattered at cam(o)
+        bc = rhs[bld.cam_vars_np]  # (C, B, d)
+        wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, d)
+        oc = np.zeros((C, len(bld.cp_pt)), np.float32)
+        oc[bld.cp_cam, np.arange(len(bld.cp_cam))] = 1.0
+        red = jnp.einsum("co,obi->cbi", jnp.asarray(oc, dtype), wb)
+        rc = (bc - red)  # (C, B, d)
+        rc_flat = jnp.moveaxis(rc, 0, 1).reshape(bsz, C * d)
+
+        ls = jnp.linalg.cholesky(s_mat)
+        xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
+        xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
+
+        # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
+        hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])  # H^T xc per obs
+        op = np.zeros((P, len(bld.cp_pt)), np.float32)
+        op[bld.cp_pt, np.arange(len(bld.cp_pt))] = 1.0
+        acc = jnp.einsum("po,obi->pbi", jnp.asarray(op, dtype), hx)
+        xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, d)
+
+        x_blocks = jnp.zeros((bld.pattern.n_vars, bsz, d), dtype=dtype)
+        x_blocks = x_blocks.at[bld.cam_vars_np].set(xc)
+        x_blocks = x_blocks.at[bld.pt_vars_np].set(xp)
+        delta = bld.flatten(x_blocks)
+        bad = jnp.any(~jnp.isfinite(delta), axis=-1)
+        delta = jnp.where(bad[..., None], 0.0, delta)
+        return delta, bad
+
+
+class SchurNormalBuilder:
+    """eliminate: predicate(name, group) -> True for landmark-style vars."""
+
+    def __init__(self, co: CompiledObjective, eliminate, damping_eps: float = 1e-8):
+        self.co = co
+        self.damping_eps = damping_eps
+        self.pattern = build_block_pattern(co)
+        n, d = self.pattern.n_vars, self.pattern.d
+
+        elim = np.zeros(n, dtype=bool)
+        for i, name in enumerate(co.var_names):
+            elim[i] = bool(eliminate(name, co.var_groups[name]))
+        self.elim = elim
+        self.cam_vars = [i for i in range(n) if not elim[i]]
+        self.pt_vars = [i for i in range(n) if elim[i]]
+        if not self.pt_vars:
+            raise ValueError("Schur backend: nothing to eliminate.")
+        self.cam_vars_np = np.asarray(self.cam_vars)
+        self.pt_vars_np = np.asarray(self.pt_vars)
+        cam_index = {v: i for i, v in enumerate(self.cam_vars)}
+        pt_index = {v: i for i, v in enumerate(self.pt_vars)}
+
+        cc, cp = [], []
+        for (i, j), slot in self.pattern.pair_slot.items():
+            if i == j:
+                continue
+            ei, ej = elim[i], elim[j]
+            if ei and ej:
+                raise ValueError(
+                    "Schur backend requires no costs coupling two eliminated "
+                    f"variables (found pair {co.var_names[i]}, {co.var_names[j]})."
+                )
+            if not ei and not ej:
+                # stored rows=i (canonical i<j); orient rows=min-cam for det.
+                cc.append((slot, cam_index[i], cam_index[j], False))
+            else:
+                cam, pt = (i, j) if ej else (j, i)
+                # stored block has rows = min(i, j); we want rows = cam
+                needs_t = cam > pt
+                cp.append((slot, cam_index[cam], pt_index[pt], needs_t))
+
+        C = len(self.cam_vars)
+        self.cc_slots = np.asarray([x[0] for x in cc] + [self.pattern.pair_slot[(v, v)] for v in self.cam_vars], dtype=np.int64)
+        self.cc_i = np.asarray([x[1] for x in cc] + list(range(C)), dtype=np.int64)
+        self.cc_j = np.asarray([x[2] for x in cc] + list(range(C)), dtype=np.int64)
+        self.cc_tr = np.zeros(len(self.cc_slots), dtype=bool)
+
+        self.cp_slots = np.asarray([x[0] for x in cp], dtype=np.int64)
+        self.cp_cam = np.asarray([x[1] for x in cp], dtype=np.int64)
+        self.cp_pt = np.asarray([x[2] for x in cp], dtype=np.int64)
+        self.cp_tr = np.asarray([x[3] for x in cp], dtype=bool)
+
+        self.pt_diag_slots = np.asarray(
+            [self.pattern.pair_slot[(v, v)] for v in self.pt_vars], dtype=np.int64
+        )
+
+        # per-point padded observation table for the S update
+        P = len(self.pt_vars)
+        by_pt: List[List[int]] = [[] for _ in range(P)]
+        for o, p in enumerate(self.cp_pt):
+            by_pt[int(p)].append(o)
+        K = max((len(b) for b in by_pt), default=1)
+        self.ppad_obs = np.zeros((P, K), dtype=np.int64)
+        self.ppad_valid = np.zeros((P, K), dtype=bool)
+        campair = np.full((P, K, K), C * C, dtype=np.int64)  # dump row
+        for p, obs in enumerate(by_pt):
+            for a, oa in enumerate(obs):
+                self.ppad_obs[p, a] = oa
+                self.ppad_valid[p, a] = True
+            for a, oa in enumerate(obs):
+                for b, ob in enumerate(obs):
+                    campair[p, a, b] = self.cp_cam[oa] * C + self.cp_cam[ob]
+        self.ppad_campair = campair.reshape(-1)
+
+        # flatten tables (global tangent layout, same as sparse backend)
+        sel = []
+        for i, dv in enumerate(self.pattern.var_dofs):
+            sel.extend(range(i * d, i * d + int(dv)))
+        self._sel = np.asarray(sel)
+        self._n_total_pad = n * d
+        self.total_dof = len(sel)
+
+        items = sorted(self.pattern.pair_slot.items(), key=lambda kv: kv[1])
+        self.bw_ii = np.array([k[0] for k, _ in items])
+        self.bw_jj = np.array([k[1] for k, _ in items])
+        self.bw_slots = np.array([s for _, s in items])
+        self.bw_isdiag = self.bw_ii == self.bw_jj
+
+    def flatten(self, blocks):
+        bsz = blocks.shape[1]
+        flat = jnp.moveaxis(blocks, 0, 1).reshape(bsz, self._n_total_pad)
+        return flat[:, self._sel]
+
+    def unflatten(self, v):
+        bsz = v.shape[0]
+        flat = jnp.zeros((bsz, self._n_total_pad), dtype=v.dtype)
+        flat = flat.at[:, self._sel].set(v)
+        return jnp.moveaxis(
+            flat.reshape(bsz, self.pattern.n_vars, self.pattern.d), 1, 0
+        )
+
+    def build(self, state, aux, detach_hessian: bool = False) -> SchurNormal:
+        blocks = self.co.linearize_blocks(state, aux)
+        ata, atb = assemble(self.pattern, self.co, blocks)
+        if detach_hessian:
+            ata = jax.lax.stop_gradient(ata)
+        return SchurNormal(self, ata, atb)
+
+
+def eliminate_points(name: str, group) -> bool:
+    """Default predicate: eliminate all Euclidean (Rn) variables."""
+    return group.name.startswith("Rn")
