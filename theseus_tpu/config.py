@@ -108,3 +108,31 @@ def set_solver_precision(precision: str) -> None:
 def solver_precision():
     """Context manager applied around solver tracing."""
     return jax.default_matmul_precision(SOLVER_MATMUL_PRECISION)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused-kernel gate: "auto" enables fused cost kernels on TPU backends
+# for float32; True/False force. (Fused kernels use a polynomial atan2 with
+# ~1e-7 f32 accuracy — bit-exactness with the pure-JAX path is not promised.)
+# ---------------------------------------------------------------------------
+USE_PALLAS = "auto"
+_PALLAS_INTERPRET = False
+
+
+def set_use_pallas(mode) -> None:
+    """mode: "auto" | True | False."""
+    global USE_PALLAS
+    USE_PALLAS = mode
+
+
+def pallas_enabled(dtype) -> bool:
+    if USE_PALLAS is False:
+        return False
+    if np.dtype(dtype) != np.dtype(np.float32):
+        return False
+    if USE_PALLAS is True:
+        return True
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:
+        return False

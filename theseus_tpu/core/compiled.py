@@ -179,6 +179,13 @@ class CompiledObjective:
         n_aux = len(cf_aux)
 
         if mode == "metric":
+            fused = getattr(template, "fused_error", None)
+            if fused is not None and not bucket.robust:
+                err = fused(xs, cf_aux)
+                if err is not None:
+                    w_applied = weight.apply_batched(err, None, w_aux)
+                    if w_applied is not None and w_applied[0] is not None:
+                        return w_applied[0]
 
             def one(args):
                 optim = args[:n_optim]
@@ -195,6 +202,20 @@ class CompiledObjective:
                 return werr
 
         else:
+            # whole-bucket fused kernels (e.g. Pallas SE3 Between): bypass
+            # the per-instance vmap when the template offers one and the
+            # weight supports batched application
+            fused = getattr(template, "fused_linearize", None)
+            if fused is not None and not bucket.robust:
+                xs_b = xs
+                out = fused(xs_b, cf_aux)
+                if out is not None:
+                    jacs, err = out
+                    w_applied = weight.apply_batched(err, list(jacs), w_aux)
+                    if w_applied is not None and w_applied[0] is not None:
+                        werr, wjacs = w_applied
+                        return tuple(wjacs), werr
+
             jfn = template.jacobians_fn()
 
             def one(args):

@@ -33,6 +33,11 @@ class CostWeight:
         Returns (weighted_err, weighted_jacs)."""
         raise NotImplementedError
 
+    def apply_batched(self, err, jacs, waux):
+        """Batched form over leading (K, B) dims (used by fused kernels);
+        None means unsupported and the caller falls back to vmap."""
+        return None
+
 
 class ScaleCostWeight(CostWeight):
     """Scalar scale (reference core/cost_weight.py:60)."""
@@ -56,6 +61,12 @@ class ScaleCostWeight(CostWeight):
         wjacs = None if jacs is None else [j * s for j in jacs]
         return werr, wjacs
 
+    def apply_batched(self, err, jacs, waux):
+        (s,) = waux  # (K, B, 1) or (B, 1); right-aligned broadcasting
+        werr = err * s
+        wjacs = None if jacs is None else [j * s[..., None] for j in jacs]
+        return werr, wjacs
+
 
 class DiagonalCostWeight(CostWeight):
     """Per-dim diagonal weight (reference core/cost_weight.py:97)."""
@@ -75,4 +86,10 @@ class DiagonalCostWeight(CostWeight):
         (d,) = waux  # (dim,)
         werr = err * d
         wjacs = None if jacs is None else [j * d[:, None] for j in jacs]
+        return werr, wjacs
+
+    def apply_batched(self, err, jacs, waux):
+        (d,) = waux
+        werr = err * d
+        wjacs = None if jacs is None else [j * d[..., None] for j in jacs]
         return werr, wjacs

@@ -57,6 +57,37 @@ class Between(CostFunction):
         j1 = -(jl @ g.adjoint(g.inverse(diff)))
         return [j1, j2], res
 
+    def fused_linearize(self, xs, aux):
+        """Whole-bucket fused Pallas linearization (SE3, f32, TPU backends).
+
+        xs: per-slot stacked (K, B, 3, 4); aux: ((K|-, B, 3, 4),). Returns
+        ((j1, j2), err) with shapes (K, B, 6, 6)/(K, B, 6), or None to fall
+        back to the vmapped per-instance path."""
+        from ..config import _PALLAS_INTERPRET, pallas_enabled
+
+        if self.group.name != "SE3":
+            return None
+        v1, v2 = xs
+        if not pallas_enabled(v1.dtype):
+            return None
+        (meas,) = aux
+        if meas.ndim == v1.ndim - 1:  # shared measurement: broadcast
+            meas = jnp.broadcast_to(meas, v1.shape)
+        from ..ops.pallas_between_soa import between_linearize_soa
+
+        j1, j2, err = between_linearize_soa(
+            v1, v2, meas, interpret=_PALLAS_INTERPRET
+        )
+        return (j1, j2), err
+
+    def fused_error(self, xs, aux):
+        """Fused error-only evaluation (same kernel; jacobians cost ~nothing
+        and XLA drops unused outputs downstream)."""
+        out = self.fused_linearize(xs, aux)
+        if out is None:
+            return None
+        return out[1]
+
 
 class MovingFrameBetween(CostFunction):
     """Between in a moving frame (tactile estimation; reference

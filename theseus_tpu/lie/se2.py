@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from ..config import get_eps
 from . import so2
-from .utils import nz
+from .utils import arctan2, nz
 
 DOF = 3
 SHAPE = (4,)
@@ -104,7 +104,7 @@ def jexp(x):
 def log(g):
     """(..., 4) -> (..., 3)."""
     t = g[..., 0:2]
-    theta = jnp.arctan2(g[..., 3], g[..., 2])
+    theta = arctan2(g[..., 3], g[..., 2])
     a, b, _, _ = _vcoeffs(theta, g.dtype)
     # a^2 + b^2 >= 4/pi^2 on the principal branch, so no guard needed
     det_nz = a * a + b * b

@@ -10,6 +10,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .utils import arctan2
+
 DOF = 1
 SHAPE = (2,)
 NAME = "SO2"
@@ -27,7 +29,7 @@ def jexp(w):
 
 
 def log(g):
-    return jnp.arctan2(g[..., 1], g[..., 0])[..., None]
+    return arctan2(g[..., 1], g[..., 0])[..., None]
 
 
 def jlog(g):

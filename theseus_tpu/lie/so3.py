@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import get_eps
-from .utils import antisym_project, mvp, nz, outer, so3_hat, so3_vee, transpose
+from .utils import antisym_project, arctan2, mvp, nz, outer, so3_hat, so3_vee, transpose
 
 DOF = 3
 SHAPE = (3, 3)
@@ -98,7 +98,7 @@ def _log_helper(g):
     sine_axis = antisym_project(g)
     cosine = 0.5 * (g[..., 0, 0] + g[..., 1, 1] + g[..., 2, 2] - 1.0)
     sine = jnp.linalg.norm(sine_axis, axis=-1)
-    theta = jnp.arctan2(sine, cosine)
+    theta = arctan2(sine, cosine)
 
     near_zero = theta < get_eps("so3", "near_zero", g.dtype)
     near_pi = (1.0 + cosine) <= get_eps("so3", "near_pi", g.dtype)

@@ -16,6 +16,16 @@ import jax.numpy as jnp
 NON_ZERO = 1.0
 
 
+def arctan2(y, x):
+    """jnp.arctan2, except inside Pallas kernel tracing where Mosaic lacks an
+    atan lowering and a polynomial substitute is used (ops/pallas_math)."""
+    from ..ops.pallas_math import atan2_poly, in_pallas
+
+    if in_pallas():
+        return atan2_poly(y, x)
+    return jnp.arctan2(y, x)
+
+
 def nz(x, mask):
     """Replace masked entries with a harmless non-zero value (NaN-grad guard)."""
     return jnp.where(mask, NON_ZERO, x)
