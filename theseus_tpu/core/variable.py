@@ -56,6 +56,9 @@ class ManifoldVariable(Variable):
                 )
             if self.tensor.ndim == len(expect):
                 self.tensor = self.tensor[None]  # add batch dim
+            from ..lie.checks import check_group
+
+            check_group(group, self.tensor)
 
     @property
     def dof(self) -> int:

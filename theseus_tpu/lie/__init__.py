@@ -2,6 +2,7 @@
 
 from . import rn, se2, se3, so2, so3, utils
 from .group import SE2, SE3, SO2, SO3, Group, Point2, Point3, by_name, euclidean
+from .checks import enable_checks, no_lie_group_check, set_lie_group_check_enabled
 from .lie_array import LieArray
 
 __all__ = [
