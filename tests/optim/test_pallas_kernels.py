@@ -72,3 +72,37 @@ def test_fused_path_in_full_solve():
         np.testing.assert_allclose(
             sols["vmap"][k], sols["fused"][k], atol=1e-4
         )
+
+
+def test_fused_path_gradients():
+    """Outer gradients through the fused kernel (custom VJP -> pure-JAX
+    backward) match the vmap path."""
+    import theseus_tpu as tt
+    from theseus_tpu.utils.examples.pose_graph import (
+        build_pgo_objective, pose_values, synthetic_pose_graph)
+
+    gt, edges, meas, init = synthetic_pose_graph(n_poses=6, batch=1, dtype=jnp.float32)
+
+    def grad_of(enabled):
+        obj, _ = build_pgo_objective(6, edges, meas, gt[0], dtype=jnp.float32)
+        opt = tt.GaussNewton(obj, max_iterations=4)
+        layer = tt.TheseusLayer(opt)
+        co = obj.compile()
+        values = obj.default_values(pose_values(init))
+        state = co.pack(values, 1)
+        tt_config.USE_PALLAS = enabled
+        tt_config._PALLAS_INTERPRET = True
+        try:
+            def f(theta):
+                aux = co.build_aux(values, 1)
+                aux = jax.tree_util.tree_map(lambda a: a * theta, aux)
+                carry = layer.solve_state(state, aux, "implicit", opt.opts)
+                return jnp.sum(carry["state"]["SE3"] ** 2)
+            return float(jax.grad(f)(jnp.asarray(1.05, jnp.float32)))
+        finally:
+            tt_config.USE_PALLAS = "auto"
+            tt_config._PALLAS_INTERPRET = False
+
+    g_vmap = grad_of(False)
+    g_fused = grad_of(True)
+    np.testing.assert_allclose(g_fused, g_vmap, rtol=2e-3)

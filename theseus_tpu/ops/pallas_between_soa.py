@@ -231,9 +231,52 @@ def _kernel(v1_ref, v2_ref, m_ref, j1_ref, j2_ref, err_ref):
                 j2_ref[e, 6 * i + j, :] = jl[i][j]
 
 
+def _reference_linearize(v1, v2, meas):
+    """Pure-JAX computation of the same outputs (drives the backward pass)."""
+    from ..lie import se3
+
+    diff = se3.compose(se3.inverse(v1), v2)
+    (jl,), res = se3.jlog(se3.compose(se3.inverse(meas), diff))
+    j1 = -(jl @ se3.adjoint(se3.inverse(diff)))
+    return j1, jl, res
+
+
 def between_linearize_soa(v1, v2, meas, block_edges: int = 4,
                           interpret: bool = False):
-    """v1, v2, meas (K, B, 3, 4) -> (j1 (K,B,6,6), j2, err (K,B,6))."""
+    """v1, v2, meas (K, B, 3, 4) -> (j1 (K,B,6,6), j2, err (K,B,6)).
+
+    Differentiable: the forward runs the fused Mosaic kernel; gradients are
+    produced by a custom VJP that differentiates the pure-JAX formulation at
+    the same primals (pallas_call itself is opaque to autodiff). Outer-loop
+    learning through unroll/truncated/implicit modes therefore works with the
+    fused path enabled."""
+    return _fused_vjp(v1, v2, meas, block_edges, interpret)
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_vjp(v1, v2, meas, block_edges, interpret):
+    return _between_linearize_kernel(v1, v2, meas, block_edges, interpret)
+
+
+def _fused_fwd(v1, v2, meas, block_edges, interpret):
+    out = _between_linearize_kernel(v1, v2, meas, block_edges, interpret)
+    return out, (v1, v2, meas)
+
+
+def _fused_bwd(block_edges, interpret, res, cots):
+    v1, v2, meas = res
+    _, vjp_fn = jax.vjp(_reference_linearize, v1, v2, meas)
+    return vjp_fn(cots)
+
+
+_fused_vjp.defvjp(_fused_fwd, _fused_bwd)
+
+
+def _between_linearize_kernel(v1, v2, meas, block_edges: int = 4,
+                              interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 

@@ -67,6 +67,7 @@ class NLSOptions:
     max_damping: float = 1e7
     track_err_history: bool = True
     track_state_history: bool = False
+    verbose: bool = False
     # trust-region options (Dogleg; reference trust_region.py:113-135)
     trust_region_init: float = 0.5
     accept_threshold: float = 0.0
@@ -104,6 +105,9 @@ class NonlinearLeastSquares:
         self.linearization = linearization
         self.ordering = ordering
         self.eliminate = opt_kwargs.pop("eliminate", None)
+        # per-iteration host callback (reference nonlinear_optimizer.py:77):
+        # called as cb(optimizer, err (B,), delta (B, D), iteration)
+        self.end_iter_callback = opt_kwargs.pop("end_iter_callback", None)
         self._normal_builder = None
         self.opts = NLSOptions(
             max_iterations=max_iterations,
@@ -220,6 +224,17 @@ class NonlinearLeastSquares:
         done = carry["done"] | newly_converged
         fail = carry["fail"] | (bad & ~carry["done"])
 
+        if opts.verbose:
+            jax.debug.print(
+                "Nonlinear optimizer. Iteration: {it}. Error: {err}",
+                it=it, err=jnp.mean(err),
+            )
+        if self.end_iter_callback is not None:
+            cb = self.end_iter_callback
+            jax.debug.callback(
+                lambda e, d, i: cb(self, e, d, int(i)), err, delta, it
+            )
+
         out = {
             "state": new_state,
             "err": err,
@@ -285,6 +300,8 @@ class NonlinearLeastSquares:
         bsz = co.resolve_batch_size(values)
         state = co.pack(values, bsz)
         aux = co.build_aux(values, bsz)
+        if verbose:
+            kwargs["verbose"] = True
         opts = dataclasses.replace(self.opts, **kwargs) if kwargs else self.opts
 
         def solve(state, aux):
