@@ -3,7 +3,9 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Config mirrors the reference's pgo benchmark scale (64 poses, batch 16;
-tests/theseus_tests/test_pgo_benchmark.py + pose_graph_synthetic.yaml).
+tests/theseus_tests/test_pgo_benchmark.py + pose_graph_synthetic.yaml),
+solved with the flagship path: level-scheduled block-sparse Cholesky +
+Pallas fused Between kernels.
 `vs_baseline` compares against the reference theseus (torch, CPU) measured on
 this machine with the same problem shape via scripts/bench_reference.py —
 value stored in BASELINE_REF_MS below (speedup = baseline/ours)."""
@@ -27,7 +29,7 @@ BASELINE_REF_MS = 60.879
 
 
 def build(n_poses=N_POSES, batch=BATCH, dtype=jnp.float32, seed=0,
-          linearization="dense"):
+          linearization="sparse"):
     import theseus_tpu as tt
     from theseus_tpu.utils.examples.pose_graph import (
         build_pgo_objective, pose_values, synthetic_pose_graph)
