@@ -175,3 +175,37 @@ class Reprojection(CostFunction):
         r2 = jnp.sum(proj * proj)
         factor = focal[0] * (1.0 + r2 * (k1[0] + r2 * k2[0]))
         return proj * factor - feat
+
+    def _fused_inputs(self, xs, aux):
+        from ..config import pallas_enabled
+
+        pose, point = xs
+        if self.group.name != "SE3" or not pallas_enabled(pose.dtype):
+            return None
+        out = [pose, point]
+        for a in aux:  # focal, feat, k1, k2; broadcast shared (B, s) slots
+            if a.ndim == pose.ndim - 2:
+                a = jnp.broadcast_to(a, pose.shape[:1] + a.shape)
+            out.append(a)
+        return out
+
+    def fused_linearize(self, xs, aux):
+        """Whole-bucket fused Pallas linearization (closed-form jacobians;
+        see ops/pallas_reprojection.py)."""
+        from ..config import _PALLAS_INTERPRET
+
+        inputs = self._fused_inputs(xs, aux)
+        if inputs is None:
+            return None
+        from ..ops.pallas_reprojection import reprojection_linearize_soa
+
+        jpose, jpt, err = reprojection_linearize_soa(
+            *inputs, interpret=_PALLAS_INTERPRET
+        )
+        return (jpose, jpt), err
+
+    def fused_error(self, xs, aux):
+        out = self.fused_linearize(xs, aux)
+        if out is None:
+            return None
+        return out[1]

@@ -58,6 +58,7 @@ def synthetic_ba(
     point_noise: float = 0.05,
     outlier_fraction: float = 0.0,
     visibility: float = 1.0,
+    focal: float = 1000.0,
     dtype=jnp.float64,
 ) -> BAProblem:
     key = jax.random.PRNGKey(seed)
@@ -80,7 +81,7 @@ def synthetic_ba(
         jnp.concatenate([rot, trans[..., None]], axis=-1)[:, None],
         (num_cameras, batch, 3, 4),
     )
-    focals = jnp.full((num_cameras, batch, 1), 1000.0, dtype)
+    focals = jnp.full((num_cameras, batch, 1), focal, dtype)
     k1c = jnp.zeros((num_cameras, batch, 1), dtype)
     k2c = jnp.zeros((num_cameras, batch, 1), dtype)
 
