@@ -63,3 +63,18 @@ def test_tactile_estimator_solves_and_differentiates():
 
     g = jax.grad(loss)(jnp.asarray(1.0, jnp.float64))
     assert np.isfinite(float(g))
+
+
+def test_tactile_trainer_step():
+    from theseus_tpu.utils.examples.tactile_pose_estimation import TactileTrainer
+
+    est = TactilePoseEstimator(time_steps=4, max_iterations=3)
+    inputs, obj_gt = make_inputs(est, jax.random.PRNGKey(1))
+    # drop the nn measurements; the trainer's model fills them in
+    base = {k: v for k, v in inputs.items() if not k.startswith("nn_measurement")}
+    feat_dim = 6
+    feats = {i: jnp.ones((1, feat_dim)) * (i + 1) for i in range(est.time_steps)}
+    trainer = TactileTrainer(est, feat_dim, lr=1e-3)
+    l0 = trainer.step(base, feats, obj_gt)
+    l1 = trainer.step(base, feats, obj_gt)
+    assert np.isfinite(l0) and np.isfinite(l1)

@@ -144,3 +144,49 @@ class MotionPlanner:
     def trajectory(self, values) -> jnp.ndarray:
         n = self.objective.num_time_steps
         return jnp.stack([values[f"pose_{i}"] for i in range(n + 1)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Learnable models (reference utils/examples/motion_planning/models.py):
+# initial-trajectory prediction and scalar collision-weight models for the
+# outer learning loop.
+# ---------------------------------------------------------------------------
+def create_initial_trajectory_model(num_time_steps: int, key, hidden: int = 64):
+    """MLP mapping (start, goal) -> full trajectory initialization
+    (poses + velocities), trained by differentiating through the planner.
+    Returns (params, apply(params, start (B,2), goal (B,2)) -> values dict)."""
+    from ..checks import build_mlp
+
+    out_dim = 4 * (num_time_steps + 1)  # (x, y, vx, vy) per step
+    params, mlp = build_mlp([4, hidden, hidden, out_dim], key)
+
+    def apply(params, start, goal, total_time: float):
+        x = jnp.concatenate([start, goal], axis=-1)
+        raw = mlp(params, x).reshape(start.shape[0], num_time_steps + 1, 4)
+        # residual on top of the straight-line initialization
+        ts = jnp.linspace(0.0, 1.0, num_time_steps + 1)[None, :, None]
+        line = start[:, None] + ts * (goal - start)[:, None]
+        vel0 = jnp.broadcast_to(((goal - start) / total_time)[:, None], line.shape)
+        poses = line + 0.1 * raw[..., :2]
+        vels = vel0 + 0.1 * raw[..., 2:]
+        init = {f"pose_{i}": poses[:, i] for i in range(num_time_steps + 1)}
+        init.update({f"vel_{i}": vels[:, i] for i in range(num_time_steps + 1)})
+        return init
+
+    return params, apply
+
+
+def create_collision_weight_model(key, hidden: int = 32):
+    """Scalar collision-weight model: map a per-problem feature (e.g. sdf
+    clearance statistic) to a positive weight (reference models.py
+    ScalarCollisionWeightModel)."""
+    from ..checks import build_mlp
+
+    params, mlp = build_mlp([1, hidden, 1], key)
+
+    def apply(params, feature):
+        import jax
+
+        return jax.nn.softplus(mlp(params, feature)) + 1e-4
+
+    return params, apply

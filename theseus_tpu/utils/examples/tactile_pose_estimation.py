@@ -151,3 +151,54 @@ def create_tactile_models(feature_dim: int, key, hidden: int = 64):
         return jax.nn.softplus(w_mlp(params, k))
 
     return {"meas": meas_params, "weight": w_params}, measurement_apply, weight_apply
+
+
+class TactileTrainer:
+    """Outer-loop trainer (reference trainer.py:50): learns the measurement
+    and weight models by differentiating the pose-estimation solve."""
+
+    def __init__(self, estimator: TactilePoseEstimator, feature_dim: int,
+                 key=None, lr: float = 1e-3, backward_mode: str = "implicit"):
+        key = key if key is not None else jax.random.PRNGKey(0)
+        self.estimator = estimator
+        self.params, self.meas_apply, self.weight_apply = create_tactile_models(
+            feature_dim, key
+        )
+        self.lr = lr
+        self.backward_mode = backward_mode
+
+    def build_inputs(self, base_inputs: Dict, params, features: Dict):
+        """Fill nn_measurement_* and mf weight from the models."""
+        inputs = dict(base_inputs)
+        for (a, b) in self.estimator.pairs:
+            inputs[f"nn_measurement_{a}_{b}"] = self.meas_apply(
+                params["meas"], features[a], features[b]
+            )
+        inputs["mf_between_weight"] = self.weight_apply(
+            params["weight"], jnp.ones((1, 1))
+        )
+        return inputs
+
+    def loss(self, params, base_inputs: Dict, features: Dict, obj_gt):
+        co = self.estimator.objective.compile()
+        inputs = self.build_inputs(base_inputs, params, features)
+        values = self.estimator.objective.default_values(inputs)
+        bsz = co.resolve_batch_size(values)
+        state = co.pack(values, bsz)
+        aux = co.build_aux(values, bsz)
+        carry = self.estimator.layer.solve_state(
+            state, aux, self.backward_mode, self.estimator.optimizer.opts
+        )
+        sol = co.unpack(carry["state"])
+        t = self.estimator.time_steps
+        est = jnp.stack([sol[f"obj_pose_{i}"] for i in range(t)], axis=1)
+        return jnp.mean((est[..., :2] - obj_gt[None, :, :2]) ** 2)
+
+    def step(self, base_inputs: Dict, features: Dict, obj_gt):
+        val, grads = jax.value_and_grad(self.loss)(
+            self.params, base_inputs, features, obj_gt
+        )
+        self.params = jax.tree_util.tree_map(
+            lambda p, g: p - self.lr * g, self.params, grads
+        )
+        return float(val)
