@@ -105,6 +105,8 @@ class NonlinearLeastSquares:
         self.linearization = linearization
         self.ordering = ordering
         self.eliminate = opt_kwargs.pop("eliminate", None)
+        self.sparse_solver = opt_kwargs.pop("sparse_solver", "direct")
+        self.pcg_iters = opt_kwargs.pop("pcg_iters", 100)
         # per-iteration host callback (reference nonlinear_optimizer.py:77):
         # called as cb(optimizer, err (B,), delta (B, D), iteration)
         self.end_iter_callback = opt_kwargs.pop("end_iter_callback", None)
@@ -127,7 +129,10 @@ class NonlinearLeastSquares:
         co = self.compiled
         if self._normal_builder is None or self._normal_builder.co is not co:
             if self.linearization == "sparse":
-                self._normal_builder = SparseNormalBuilder(co, ordering=self.ordering)
+                self._normal_builder = SparseNormalBuilder(
+                    co, ordering=self.ordering, solver=self.sparse_solver,
+                    pcg_iters=self.pcg_iters,
+                )
             elif self.linearization == "schur":
                 from .schur import SchurNormalBuilder, eliminate_points
 

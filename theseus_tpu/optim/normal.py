@@ -66,7 +66,12 @@ class SparseNormal:
         rhs = self.atb_blocks
         if rhs_shift is not None:
             rhs = rhs - bld.unflatten(rhs_shift)
-        x = sparse_block_solve(bld.sched, ata, rhs)
+        if bld.solver == "pcg":
+            from ..sparse.pcg import pcg_block_solve
+
+            x = pcg_block_solve(bld.pcg_sched, ata, rhs, bld.pcg_iters, bld.pcg_tol)
+        else:
+            x = sparse_block_solve(bld.sched, ata, rhs)
         delta = bld.flatten(x)
         bad = jnp.any(~jnp.isfinite(delta), axis=-1)
         delta = jnp.where(bad[..., None], 0.0, delta)
@@ -92,14 +97,25 @@ class SparseNormalBuilder:
     """Owns the static symbolic state (pattern, schedule, flatten tables)."""
 
     def __init__(self, co: CompiledObjective, ordering: str = "nd",
-                 damping_eps: float = 1e-8):
+                 damping_eps: float = 1e-8, solver: str = "direct",
+                 pcg_iters: int = 100, pcg_tol: float = 1e-10):
         self.co = co
         self.damping_eps = damping_eps
+        self.solver = solver
+        self.pcg_iters = pcg_iters
+        self.pcg_tol = pcg_tol
         self.pattern = build_block_pattern(co)
-        self.sym = symbolic_factor(
-            self.pattern.n_vars, self.pattern.pairs, self.pattern.d, ordering
-        )
-        self.sched = NumericSchedule(self.sym, self.pattern)
+        if solver == "pcg":
+            from ..sparse.pcg import PCGSchedule
+
+            self.sym = None
+            self.sched = None
+            self.pcg_sched = PCGSchedule(self.pattern)
+        else:
+            self.sym = symbolic_factor(
+                self.pattern.n_vars, self.pattern.pairs, self.pattern.d, ordering
+            )
+            self.sched = NumericSchedule(self.sym, self.pattern)
 
         # flatten tables: (n, B, d) <-> (B, total_dof)
         d = self.pattern.d
