@@ -25,6 +25,13 @@ from ..core.compiled import CompiledObjective
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"make_mesh({n}) needs {n} devices but platform "
+            f"'{jax.default_backend()}' has {len(devs)}; for CPU testing set "
+            f"XLA_FLAGS=--xla_force_host_platform_device_count={n} before "
+            f"jax initializes"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 
