@@ -57,6 +57,11 @@ class TheseusLayer:
         bwd_iters = int(optimizer_kwargs.pop("backward_num_iterations", 5))
         keep_step = bool(optimizer_kwargs.pop("__keep_final_step_size__", False))
         optimizer_kwargs.pop("verbose", None)
+        # user-facing per-batch freeze (reference core/variable.py:65-71,
+        # objective.py:729): True entries keep their input values bit-exact
+        ignore_mask = optimizer_kwargs.pop("batch_ignore_mask", None)
+        if ignore_mask is not None:
+            ignore_mask = jnp.asarray(ignore_mask, dtype=bool)
 
         opts = (
             dataclasses.replace(self.optimizer.opts, **optimizer_kwargs)
@@ -73,6 +78,7 @@ class TheseusLayer:
         carry = self._jitted_solve(
             state, aux, mode=mode, opts=opts,
             backward_num_iterations=bwd_iters, keep_step_size=keep_step,
+            batch_ignore_mask=ignore_mask,
         )
         info = self.optimizer.make_info(carry, opts)
         out = dict(values)
@@ -83,56 +89,68 @@ class TheseusLayer:
 
     # ------------------------------------------------------------------
     def solve_state(self, state, aux, mode: str, opts: NLSOptions,
-                    backward_num_iterations: int = 5, keep_step_size: bool = False):
+                    backward_num_iterations: int = 5, keep_step_size: bool = False,
+                    batch_ignore_mask=None):
         """Pure solve on packed pytrees; for use inside user jit/grad."""
-        return self._solve(state, aux, mode, opts, backward_num_iterations, keep_step_size)
+        return self._solve(state, aux, mode, opts, backward_num_iterations,
+                           keep_step_size, batch_ignore_mask)
 
     def _solve(self, state, aux, mode: str, opts: NLSOptions,
-               backward_num_iterations: int = 5, keep_step_size: bool = False):
+               backward_num_iterations: int = 5, keep_step_size: bool = False,
+               batch_ignore_mask=None):
         with solver_precision():
             return self._solve_inner(state, aux, mode, opts,
-                                     backward_num_iterations, keep_step_size)
+                                     backward_num_iterations, keep_step_size,
+                                     batch_ignore_mask)
 
     def _solve_inner(self, state, aux, mode: str, opts: NLSOptions,
-                     backward_num_iterations: int = 5, keep_step_size: bool = False):
+                     backward_num_iterations: int = 5, keep_step_size: bool = False,
+                     batch_ignore_mask=None):
         opt = self.optimizer
+        supported = getattr(opt, "supported_modes", BACKWARD_MODES)
+        if mode not in supported:
+            raise ValueError(
+                f"{type(opt).__name__} supports backward modes {supported}, "
+                f"got '{mode}' (gradient-based modes need a linearization)"
+            )
+        mask = batch_ignore_mask
         if mode == "unroll":
-            carry = opt.init_carry(state, aux, opts)
+            carry = opt.init_carry(state, aux, opts, mask)
             return opt.run_scan(carry, aux, opts.max_iterations, opts)
 
         if mode == "implicit":
             sg_state = jax.lax.stop_gradient(state)
             sg_aux = jax.lax.stop_gradient(aux)
-            carry = opt.init_carry(sg_state, sg_aux, opts)
+            carry = opt.init_carry(sg_state, sg_aux, opts, mask)
             carry = opt.run_while(carry, sg_aux, opts.max_iterations, opts)
             # final detached-hessian GN step with gradient-carrying aux
             carry = dict(carry)
             carry["state"] = jax.lax.stop_gradient(carry["state"])
             step_size = None if keep_step_size else 1.0
-            return self._implicit_final_step(carry, aux, opts, step_size)
+            return self._implicit_final_step(carry, aux, opts, step_size, mask)
 
         if mode == "truncated":
             k = backward_num_iterations
             n_nograd = max(opts.max_iterations - k, 0)
             sg_state = jax.lax.stop_gradient(state)
             sg_aux = jax.lax.stop_gradient(aux)
-            carry = opt.init_carry(sg_state, sg_aux, opts)
+            carry = opt.init_carry(sg_state, sg_aux, opts, mask)
             carry = opt.run_while(carry, sg_aux, n_nograd, opts)
             carry = jax.lax.stop_gradient(carry)
             # convergence masks reset per loop phase (the reference's grad
             # loop restarts `converged_indices` at zero, nonlinear_least_
             # squares.py _optimize_loop), so the grad-phase scan re-updates
-            # previously converged elements.
+            # previously converged elements — except user-frozen ones.
             carry = dict(carry)
-            carry["done"] = jnp.zeros_like(carry["done"])
+            carry["done"] = carry["ignore"]
             return opt.run_scan(carry, aux, min(k, opts.max_iterations), opts)
 
         if mode == "dlm":
-            return self._solve_dlm(state, aux, opts)
+            return self._solve_dlm(state, aux, opts, mask)
 
         raise ValueError(mode)
 
-    def _implicit_final_step(self, carry, aux, opts, step_size):
+    def _implicit_final_step(self, carry, aux, opts, step_size, mask=None):
         opt = self.optimizer
         co = self.objective.compile()
         state = carry["state"]
@@ -141,7 +159,8 @@ class TheseusLayer:
         # nonlinear_least_squares.py:121-135)
         delta, _ = ns.solve(0.0, False)
         ss = opts.step_size if step_size is None else step_size
-        new_state = co.retract(state, ss * delta)
+        accept = None if mask is None else ~mask
+        new_state = co.retract(state, ss * delta, accept=accept)
         out = dict(carry)
         out["state"] = new_state
         out["err"] = co.error_metric(new_state, aux)
@@ -150,10 +169,13 @@ class TheseusLayer:
     # ------------------------------------------------------------------
     def compute_samples(self, values=None, input_tensors=None, n_samples: int = 10,
                         temperature: float = 1.0, key=None):
-        """LEO posterior sampling around the current solution via a Cholesky
-        factor of AtA (reference theseus_layer.py:99-135): x ~ N(x + delta,
-        temperature * (AtA)^{-1}), sampled as delta + L^{-T} y with
-        AtA = L L^T. Returns {name: (B, n_samples, *shape)}."""
+        """LEO posterior sampling around the current solution (reference
+        theseus_layer.py:99-135): x ~ N(x + delta, temperature * (AtA)^{-1}),
+        sampled as delta + sqrt(T) * L^{-T} y with AtA = L L^T. Routed
+        through the optimizer's configured normal builder: the sparse path
+        reuses the block-sparse factorization (backward substitution only),
+        so sampling scales to problems whose dense AtA would not fit.
+        Returns {name: (B, n_samples, *shape)}."""
         import jax.numpy as jnp
         import jax.scipy.linalg as jsl
 
@@ -165,19 +187,43 @@ class TheseusLayer:
         key = key if key is not None else jax.random.PRNGKey(0)
 
         from .config import solver_precision
-        from .optim.normal import DenseNormalBuilder
+        from .optim.normal import DenseNormalBuilder, SparseNormal
+
+        builder = self.optimizer.normal_builder
+        sqrt_t = jnp.sqrt(jnp.asarray(temperature))
 
         with solver_precision():
-            ns = DenseNormalBuilder(co, self.optimizer.linear_solver).build(state, aux)
-            delta, _ = ns.solve(0.0, False)
-            ata = ns.AtA / temperature
-            chol = jnp.linalg.cholesky(ata)  # lower L
-            y = jax.random.normal(
-                key, (bsz, co.total_dof, n_samples), dtype=delta.dtype
-            )
-            # solve L^T x = y  => x ~ N(0, (L L^T)^{-1})
-            pert = jsl.solve_triangular(jnp.swapaxes(chol, -1, -2), y, lower=False)
-            deltas = delta[..., None] + pert  # (B, D, S)
+            ns = builder.build(state, aux)
+            if isinstance(ns, SparseNormal) and getattr(ns.builder, "sched", None) is not None:
+                from .sparse.cholesky import factorize, sample_with_factor
+
+                bld = ns.builder
+                delta, _ = ns.solve(0.0, False)  # (B, D)
+                lflat = factorize(bld.sched, ns.ata)
+                n_blk, d = bld.pattern.n_vars, bld.pattern.d
+                ys = jax.random.normal(
+                    key, (n_samples, n_blk, bsz, d), dtype=delta.dtype
+                )
+                pert_blocks = jax.vmap(
+                    lambda y: sample_with_factor(bld.sched, lflat, y)
+                )(ys)  # (S, n, B, d)
+                pert = jax.vmap(bld.flatten)(pert_blocks)  # (S, B, D)
+                pert = jnp.moveaxis(pert, 0, -1)  # (B, D, S)
+            else:
+                if not hasattr(ns, "AtA"):
+                    ns = DenseNormalBuilder(co, self.optimizer.linear_solver).build(
+                        state, aux
+                    )
+                delta, _ = ns.solve(0.0, False)
+                chol = jnp.linalg.cholesky(ns.AtA)  # lower L
+                y = jax.random.normal(
+                    key, (bsz, co.total_dof, n_samples), dtype=delta.dtype
+                )
+                # solve L^T x = y  => x ~ N(0, (L L^T)^{-1})
+                pert = jsl.solve_triangular(
+                    jnp.swapaxes(chol, -1, -2), y, lower=False
+                )
+            deltas = delta[..., None] + sqrt_t * pert  # (B, D, S)
 
             def retract_one(d):
                 return co.retract(state, d)
@@ -185,8 +231,8 @@ class TheseusLayer:
             sampled_states = jax.vmap(retract_one, in_axes=2)(deltas)  # S-leading
         out = {}
         unpacked = co.unpack(jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 2), sampled_states))
-        # unpacked values now have shape (B, S, *shape)? unpack indexes axis 0 of
-        # per-type stacks; after moveaxis each stack is (N, B, S, *shape)
+        # per-type stacks are (N, B, S, *shape) after moveaxis; unpack indexes
+        # axis 0, so each value lands as (B, S, *shape)
         for n, arr in unpacked.items():
             out[n] = arr
         return out
@@ -208,12 +254,21 @@ class TheseusLayer:
     # ------------------------------------------------------------------
     # DLM backward (reference theseus_layer.py:177-363): implemented as a
     # custom_vjp around the no-grad solve. See _dlm_backward for the math.
-    def _solve_dlm(self, state, aux, opts):
+    def _solve_dlm(self, state, aux, opts, mask=None):
         epsilon = 1e-2
-        solved = _dlm_solve(self, opts, epsilon, state, aux)
+        co = self.objective.compile()
+        b = co.batch_size(state)
+        dtype = co.state_dtype(state)
+        # float mask so it can be a regular custom_vjp argument (zero cot.)
+        maskf = (
+            jnp.zeros((b,), dtype)
+            if mask is None
+            else jnp.asarray(mask, dtype)
+        )
+        solved = _dlm_solve(self, opts, epsilon, state, aux, maskf)
         sg_state = jax.lax.stop_gradient(state)
         sg_aux = jax.lax.stop_gradient(aux)
-        carry = self.optimizer.init_carry(sg_state, sg_aux, opts)
+        carry = self.optimizer.init_carry(sg_state, sg_aux, opts, mask)
         carry = self.optimizer.run_while(carry, sg_aux, opts.max_iterations, opts)
         carry = jax.lax.stop_gradient(carry)
         carry = dict(carry)
@@ -222,16 +277,16 @@ class TheseusLayer:
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _dlm_solve(layer, opts, epsilon, state, aux):
-    carry = layer.optimizer.init_carry(state, aux, opts)
+def _dlm_solve(layer, opts, epsilon, state, aux, maskf):
+    carry = layer.optimizer.init_carry(state, aux, opts, maskf > 0.5)
     carry = layer.optimizer.run_while(carry, aux, opts.max_iterations, opts)
     return carry["state"]
 
 
-def _dlm_solve_fwd(layer, opts, epsilon, state, aux):
+def _dlm_solve_fwd(layer, opts, epsilon, state, aux, maskf):
     sol = _dlm_solve(layer, opts, epsilon, jax.lax.stop_gradient(state),
-                     jax.lax.stop_gradient(aux))
-    return sol, (sol, aux)
+                     jax.lax.stop_gradient(aux), maskf)
+    return sol, (sol, aux, maskf)
 
 
 def _dlm_solve_bwd(layer, opts, epsilon, res, g):
@@ -241,8 +296,9 @@ def _dlm_solve_bwd(layer, opts, epsilon, res, g):
     0.5*||sqrt(eps) x - grad/sqrt(eps)||^2-style terms (reference
     theseus_layer.py:229-344). Here we use the equivalent formulation:
     grad_aux = -(1/eps) * [dF/daux(x_eps, aux) - dF/daux(x*, aux)] with
-    x_eps = one GN step on F + eps * <g, x> from x*."""
-    sol, aux = res
+    x_eps = one GN step on F + eps * <g, x> from x*. User-frozen batch
+    elements (maskf) contribute no gradient."""
+    sol, aux, maskf = res
     opt = layer.optimizer
     co = layer.objective.compile()
 
@@ -254,6 +310,7 @@ def _dlm_solve_bwd(layer, opts, epsilon, res, g):
     ns = opt.normal_builder.build(sol, sg_aux, detach_hessian=True)
     # map ambient cotangent g (pytree like state) to tangent coordinates
     gt = _state_cotangent_to_tangent(co, sol, g)
+    gt = gt * (1.0 - maskf)[:, None]  # frozen elements: no DLM perturbation
     delta_pert, _ = ns.solve(0.0, False, rhs_shift=epsilon * gt)
     delta_base, _ = ns.solve(0.0, False)
     x_pert = co.retract(sol, delta_pert)
@@ -269,7 +326,7 @@ def _dlm_solve_bwd(layer, opts, epsilon, res, g):
         lambda a, b: (a - b) / epsilon, g_pert, g_base
     )
     grad_state = jax.tree_util.tree_map(jnp.zeros_like, sol)
-    return grad_state, grad_aux
+    return grad_state, grad_aux, jnp.zeros_like(maskf)
 
 
 def _state_cotangent_to_tangent(co, state, g):

@@ -85,6 +85,9 @@ class NonlinearLeastSquares:
     composes into backward modes."""
 
     method = "base"
+    # backward modes usable through TheseusLayer (derivative-free subclasses
+    # narrow this; reference: DCEM has no linearization, dcem.py:26)
+    supported_modes = ("unroll", "implicit", "truncated", "dlm")
 
     def __init__(
         self,
@@ -111,6 +114,7 @@ class NonlinearLeastSquares:
         # called as cb(optimizer, err (B,), delta (B, D), iteration)
         self.end_iter_callback = opt_kwargs.pop("end_iter_callback", None)
         self._normal_builder = None
+        self._jit_cache = {}
         self.opts = NLSOptions(
             max_iterations=max_iterations,
             step_size=step_size,
@@ -148,16 +152,25 @@ class NonlinearLeastSquares:
         return opts.damping
 
     # -- pure building blocks -------------------------------------------
-    def init_carry(self, state, aux, opts: NLSOptions):
+    def init_carry(self, state, aux, opts: NLSOptions, batch_ignore_mask=None):
+        """batch_ignore_mask: optional (B,) bool; True freezes that batch
+        element for the whole solve (the reference's user-facing
+        batch_ignore_mask, core/variable.py:65-71, objective.py:729)."""
         co = self.compiled
         b = co.batch_size(state)
         dtype = co.state_dtype(state)
         with solver_precision():
             err = co.error_metric(state, aux)
+        ignore = (
+            jnp.zeros((b,), dtype=bool)
+            if batch_ignore_mask is None
+            else jnp.asarray(batch_ignore_mask, dtype=bool)
+        )
         carry = {
             "state": state,
             "err": err,
-            "done": jnp.zeros((b,), dtype=bool),
+            "done": ignore,  # frozen elements never update
+            "ignore": ignore,
             "fail": jnp.zeros((b,), dtype=bool),
             "damping": jnp.full((b,), self._init_scalar_state(opts), dtype=dtype),
             "it": jnp.zeros((), dtype=jnp.int32),
@@ -167,6 +180,15 @@ class NonlinearLeastSquares:
         if opts.track_err_history:
             hist = jnp.full((opts.max_iterations + 1, b), jnp.nan, dtype=dtype)
             carry["history"] = hist.at[0].set(err)
+        if opts.track_state_history:
+            # per-iteration variable state (reference
+            # nonlinear_optimizer.py:131-176): (max_iter+1, N_t, B, *shape)
+            carry["state_history"] = jax.tree_util.tree_map(
+                lambda s: jnp.full(
+                    (opts.max_iterations + 1,) + s.shape, jnp.nan, dtype=s.dtype
+                ).at[0].set(s),
+                state,
+            )
         return carry
 
     def compute_delta(self, ns, damping, opts: NLSOptions):
@@ -244,6 +266,7 @@ class NonlinearLeastSquares:
             "state": new_state,
             "err": err,
             "done": done,
+            "ignore": carry["ignore"],
             "fail": fail,
             "damping": damping,
             "it": it,
@@ -252,6 +275,10 @@ class NonlinearLeastSquares:
         }
         if "history" in carry:
             out["history"] = carry["history"].at[it].set(err)
+        if "state_history" in carry:
+            out["state_history"] = jax.tree_util.tree_map(
+                lambda h, s: h.at[it].set(s), carry["state_history"], new_state
+            )
         return out
 
     def run_scan(self, carry, aux, num_iters: int, opts: NLSOptions):
@@ -289,16 +316,23 @@ class NonlinearLeastSquares:
                 NonlinearOptimizerStatus.MAX_ITERATIONS,
             ),
         ).astype(jnp.int8)
+        ignore = carry.get("ignore")
+        if ignore is not None:
+            status = jnp.where(
+                ignore, jnp.int8(NonlinearOptimizerStatus.START), status
+            )
         return OptimizerInfo(
             status=status,
             converged_iter=carry["converged_iter"],
             best_err=carry["best_err"],
             last_err=carry["err"],
             err_history=carry.get("history"),
+            state_history=carry.get("state_history"),
         )
 
     # -- user-facing solve (no outer grad bookkeeping; see layer.py) ----
-    def optimize(self, values=None, input_tensors=None, verbose: bool = False, **kwargs):
+    def optimize(self, values=None, input_tensors=None, verbose: bool = False,
+                 batch_ignore_mask=None, **kwargs):
         """Convenience one-shot solve returning (values_dict, info)."""
         co = self.compiled
         values = values or self.objective.default_values(input_tensors)
@@ -309,13 +343,20 @@ class NonlinearLeastSquares:
             kwargs["verbose"] = True
         opts = dataclasses.replace(self.opts, **kwargs) if kwargs else self.opts
 
-        def solve(state, aux):
-            with solver_precision():
-                carry = self.init_carry(state, aux, opts)
-                carry = self.run_while(carry, aux, opts.max_iterations, opts)
-            return carry
+        # jit cached per (compiled objective, opts) so repeated optimize()
+        # calls don't retrace (round-1 re-jitted every call)
+        cache_key = (co, opts)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            def solve(state, aux, mask):
+                with solver_precision():
+                    carry = self.init_carry(state, aux, opts, mask)
+                    carry = self.run_while(carry, aux, opts.max_iterations, opts)
+                return carry
 
-        carry = jax.jit(solve)(state, aux)
+            fn = jax.jit(solve)
+            self._jit_cache[cache_key] = fn
+        carry = fn(state, aux, batch_ignore_mask)
         info = self.make_info(carry, opts)
         out = dict(values)
         out.update(co.unpack(carry["state"]))

@@ -1,1 +1,8 @@
-from .sharding import aux_pspecs, make_mesh, shard_problem, state_pspecs
+from .sharding import (
+    aux_pspecs,
+    carry_pspecs,
+    make_mesh,
+    shard_map_solve,
+    shard_problem,
+    state_pspecs,
+)

@@ -52,6 +52,56 @@ def aux_pspecs(co: CompiledObjective, axis: str = "dp"):
     return tuple(out)
 
 
+def carry_pspecs(co: CompiledObjective, carry_like, axis: str = "dp"):
+    """PartitionSpec pytree matching an optimizer solve carry dict.
+
+    `carry_like` is the carry itself or its eval_shape: state stacks are
+    (N_t, B, ...) -> P(None, axis); err history is (iters+1, B) ->
+    P(None, axis); the iteration counter is a replicated scalar; every other
+    per-batch leaf (err/done/fail/damping/...) is (B,) -> P(axis)."""
+    specs = {}
+    for k, v in carry_like.items():
+        if k == "state":
+            specs[k] = {tk: P(None, axis) for tk in v}
+        elif k == "history":
+            specs[k] = P(None, axis)
+        elif k == "it":
+            specs[k] = P()
+        else:
+            specs[k] = P(axis)
+    return specs
+
+
+def shard_map_solve(layer, mesh: Mesh, mode: str = "implicit", opts=None,
+                    axis: str = "dp", **solve_kwargs):
+    """Wrap a TheseusLayer solve in `jax.shard_map` over the batch axis.
+
+    Plain jit-with-sharded-inputs already scales the pure-JAX path (XLA
+    propagates the dp sharding through the whole solve with zero
+    collectives); shard_map is the plumbing the *Pallas fused kernels* need:
+    inside shard_map every pallas_call sees per-shard local arrays, so the
+    Mosaic grid/BlockSpecs work unchanged on each chip. Returns
+    solve(state, aux) -> carry; inputs must be (or will be interpreted as)
+    batch-sharded per `state_pspecs`/`aux_pspecs`."""
+    co = layer.objective.compile()
+    opts = opts or layer.optimizer.opts
+
+    def local_solve(state, aux):
+        return layer.solve_state(state, aux, mode, opts, **solve_kwargs)
+
+    def solve(state, aux):
+        carry_shape = jax.eval_shape(local_solve, state, aux)
+        return jax.shard_map(
+            local_solve,
+            mesh=mesh,
+            in_specs=(state_pspecs(co, axis), aux_pspecs(co, axis)),
+            out_specs=carry_pspecs(co, carry_shape, axis),
+            check_vma=False,  # the per-shard iteration counter may diverge
+        )(state, aux)
+
+    return solve
+
+
 def shard_problem(co: CompiledObjective, state, aux, mesh: Mesh, axis: str = "dp"):
     """Place state/aux on the mesh with batch-axis sharding."""
     sspec = jax.tree_util.tree_map(

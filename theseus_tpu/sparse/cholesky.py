@@ -234,6 +234,21 @@ def solve_with_factor(sched: NumericSchedule, lflat, atb):
     return _solve_scan(sched, lflat, atb)
 
 
+def _bwd_levels(sched: NumericSchedule, lflat, y):
+    """L^T x = y in internal (permuted) order; per-level sweeps."""
+    x = jnp.zeros_like(y)
+    for t in reversed(sched.level_tables):
+        lcol = lflat[t["col_slots"]]  # (C, rl, B, d, d)
+        xr = x[t["row_ids"]]  # (C, rl, B, d)
+        rl = t["row_valid"].shape[1]
+        below = t["row_valid"] & (np.arange(rl)[None, :] > 0)
+        xr = jnp.where(below[:, :, None, None], xr, 0.0)
+        acc = y[t["cols"]] - jnp.einsum("crbij,crbi->cbj", lcol, xr)
+        xj = _bwd_sub(jnp.swapaxes(lcol[:, 0], -1, -2), acc, acc.shape[-1])
+        x = x.at[t["cols"]].set(xj)
+    return x
+
+
 def _solve_levels(sched: NumericSchedule, lflat, atb):
     sym = sched.sym
     b_perm = atb[sched.perm]  # (n, B, d)
@@ -247,17 +262,7 @@ def _solve_levels(sched: NumericSchedule, lflat, atb):
         yj = _fwd_sub(lflat[t["diag_slots"]], acc, acc.shape[-1])
         y = y.at[t["cols"]].set(yj)
 
-    x = jnp.zeros_like(y)
-    for t in reversed(sched.level_tables):
-        lcol = lflat[t["col_slots"]]  # (C, rl, B, d, d)
-        xr = x[t["row_ids"]]  # (C, rl, B, d)
-        rl = t["row_valid"].shape[1]
-        below = t["row_valid"] & (np.arange(rl)[None, :] > 0)
-        xr = jnp.where(below[:, :, None, None], xr, 0.0)
-        acc = y[t["cols"]] - jnp.einsum("crbij,crbi->cbj", lcol, xr)
-        xj = _bwd_sub(jnp.swapaxes(lcol[:, 0], -1, -2), acc, acc.shape[-1])
-        x = x.at[t["cols"]].set(xj)
-    return x[sched.iperm]
+    return _bwd_levels(sched, lflat, y)[sched.iperm]
 
 
 def _solve_scan(sched: NumericSchedule, lflat, atb):
@@ -285,7 +290,12 @@ def _solve_scan(sched: NumericSchedule, lflat, atb):
 
     y, _ = jax.lax.scan(fwd_body, y0, fwd_xs)
 
-    # backward: L^T x = y
+    return _bwd_scan(sched, lflat, y)[sched.iperm]
+
+
+def _bwd_scan(sched: NumericSchedule, lflat, y):
+    """L^T x = y in internal (permuted) order; sequential scan."""
+    sym = sched.sym
     x0 = jnp.zeros_like(y)
     bwd_xs = (
         jnp.arange(sym.n)[::-1],
@@ -305,6 +315,19 @@ def _solve_scan(sched: NumericSchedule, lflat, atb):
         return xv.at[j].set(xj), None
 
     x, _ = jax.lax.scan(bwd_body, x0, bwd_xs)
+    return x
+
+
+def sample_with_factor(sched: NumericSchedule, lflat, y):
+    """y (n, B, d) iid N(0,1) -> x = P^T L^{-T} y with cov H^{-1}, original
+    variable order. Backward substitution only — posterior sampling (LEO,
+    reference theseus_layer.py:99-135) at sparse cost: H = P^T L L^T P, so
+    cov(P^T L^{-T} y) = P^T (L L^T)^{-1} P = H^{-1}."""
+    x = (
+        _bwd_levels(sched, lflat, y)
+        if sched.use_levels
+        else _bwd_scan(sched, lflat, y)
+    )
     return x[sched.iperm]
 
 
