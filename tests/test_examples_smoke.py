@@ -1,5 +1,13 @@
-"""Smoke tests: the fastest example scripts run end to end (subprocess, CPU)."""
+"""Smoke tests: every example script runs end to end (subprocess, CPU).
 
+Mirrors the reference's example-shrinking strategy
+(tests/theseus_tests/test_pgo_benchmark.py:33-61, which overrides hydra
+configs to tiny sizes): configurable scripts get small CLI args; the rest are
+already sized to finish in tens of seconds on CPU. Everything except the two
+fastest scripts is marked slow so the default `-m "not slow"` tier stays
+quick."""
+
+import os
 import pathlib
 import subprocess
 import sys
@@ -8,16 +16,41 @@ import pytest
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 
+FAST = [
+    ("simple_example.py", []),
+    ("lie_api.py", []),
+]
+SLOW = [
+    ("backward_modes.py", []),
+    ("homography_estimation.py", []),
+    ("inverse_kinematics.py", []),
+    ("motion_planning_2d.py", []),
+    ("se2_planning.py", []),
+    ("state_estimation_2d.py", ["--epochs", "3"]),
+    ("bundle_adjustment.py", ["--cameras", "4", "--points", "16"]),
+    ("pose_graph_benchmark.py", ["--n-poses", "32", "--iters", "3"]),
+    ("pose_graph_synthetic.py", ["--n-poses", "16", "--batch", "2",
+                                 "--epochs", "2"]),
+]
 
-@pytest.mark.parametrize("script", ["simple_example.py", "lie_api.py"])
-def test_example_runs(script):
-    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
-    import os
 
-    env.update({k: v for k, v in os.environ.items() if k not in env})
+def _run(script, args):
+    env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     out = subprocess.run(
-        [sys.executable, str(ROOT / "examples" / script)],
-        capture_output=True, text=True, timeout=600, env=env,
+        [sys.executable, str(ROOT / "examples" / script), *args],
+        capture_output=True, text=True, timeout=900, env=env,
     )
-    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.returncode == 0, f"{script} failed:\n{out.stderr[-3000:]}"
+
+
+@pytest.mark.parametrize("script,args", FAST, ids=[s for s, _ in FAST])
+def test_example_fast(script, args):
+    _run(script, args)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("script,args", SLOW, ids=[s for s, _ in SLOW])
+def test_example_slow(script, args):
+    _run(script, args)

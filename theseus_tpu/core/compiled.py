@@ -167,6 +167,37 @@ class CompiledObjective:
         )
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _mask_zero_weights(weight, w_aux, werr, wjacs=None):
+        """Where-mask contributions of zero weights (reference is_zero +
+        masked_jacobians skip, theseus/core/cost_function.py:104-116): with
+        static TPU shapes we cannot drop rows, but the mask guarantees a
+        zero weight contributes exactly 0 even for NaN/inf residuals."""
+        zmask = weight.is_zero(w_aux)
+        if zmask is None:
+            return werr, wjacs
+        werr = jnp.where(zmask[..., None], jnp.zeros_like(werr), werr)
+        if wjacs is not None:
+            wjacs = [
+                jnp.where(zmask[..., None, None], jnp.zeros_like(j), j)
+                for j in wjacs
+            ]
+        return werr, wjacs
+
+    @staticmethod
+    def _guard_zero_weight_metric(weight, w_aux, werr):
+        """Metric-path guard: zero out entries that are BOTH zero-weight and
+        non-finite. Unlike the linearize mask, finite values pass through
+        untouched, preserving the reference's weighted_error gradient
+        semantics (a weight at exactly 0 still sees d(w*e)/dw = e); only
+        NaN/inf residuals hiding behind a zero weight are suppressed so they
+        cannot poison the error metric / step acceptance."""
+        zmask = weight.is_zero(w_aux)
+        if zmask is None:
+            return werr
+        bad = zmask[..., None] & ~jnp.isfinite(werr)
+        return jnp.where(bad, jnp.zeros_like(werr), werr)
+
     def _bucket_eval(self, bucket: BucketSpec, state, bucket_aux, mode: str):
         """mode: 'metric' -> weighted (robust-transformed) error only;
         'linearize' -> (jacs, rescaled err)."""
@@ -185,7 +216,9 @@ class CompiledObjective:
                 if err is not None:
                     w_applied = weight.apply_batched(err, None, w_aux)
                     if w_applied is not None and w_applied[0] is not None:
-                        return w_applied[0]
+                        return self._guard_zero_weight_metric(
+                            weight, w_aux, w_applied[0]
+                        )
 
             def one(args):
                 optim = args[:n_optim]
@@ -214,6 +247,7 @@ class CompiledObjective:
                     w_applied = weight.apply_batched(err, list(jacs), w_aux)
                     if w_applied is not None and w_applied[0] is not None:
                         werr, wjacs = w_applied
+                        werr, wjacs = self._mask_zero_weights(weight, w_aux, werr, wjacs)
                         return tuple(wjacs), werr
 
             jfn = template.jacobians_fn()
@@ -246,7 +280,18 @@ class CompiledObjective:
         )
         inner = jax.vmap(one, in_axes=((0,) * len(args),))
         outer = jax.vmap(inner, in_axes=(outer_axes,))
-        return outer(args)
+        out = outer(args)
+        if mode == "metric":
+            # finite values are NOT masked: mirrors the reference, where only
+            # the linearization path skips zero weights
+            # (weighted_jacobians_error, cost_function.py:106-121) while
+            # weighted_error keeps the raw product — so outer-loop gradients
+            # w.r.t. a weight parameter at exactly 0 still flow. Only
+            # non-finite residuals behind a zero weight are zeroed.
+            return self._guard_zero_weight_metric(weight, w_aux, out)
+        wjacs, werr = out
+        werr, wjacs = self._mask_zero_weights(weight, w_aux, werr, list(wjacs))
+        return tuple(wjacs), werr
 
     def error(self, state, aux, mode: str = "metric"):
         """Weighted error vector (B, total_dim)."""
@@ -345,8 +390,13 @@ class CompiledObjective:
         return {tk: jnp.stack(arrs, axis=0) for tk, arrs in per_type.items()}
 
 
-def compile_objective(objective) -> CompiledObjective:
-    """Bucket cost functions by schema and freeze all index arrays."""
+def compile_objective(objective, vectorize: bool = True) -> CompiledObjective:
+    """Bucket cost functions by schema and freeze all index arrays.
+
+    vectorize=False gives every cost function its own single-member bucket —
+    the analog of running the reference without Vectorize
+    (theseus/core/vectorizer.py; evaluations/vectorization_ablation.sh) for
+    ablation studies. Semantics are identical; only the batching changes."""
     cfs = list(objective.cost_functions.values())
     if not cfs:
         raise ValueError("Objective has no cost functions.")
@@ -389,7 +439,7 @@ def compile_objective(objective) -> CompiledObjective:
     bucket_map: Dict = {}
     order: List = []
     for cf in cfs:
-        key = cf.schema()
+        key = cf.schema() if vectorize else (cf.schema(), cf.name)
         if key not in bucket_map:
             bucket_map[key] = []
             order.append(key)

@@ -38,6 +38,17 @@ class CostWeight:
         None means unsupported and the caller falls back to vmap."""
         return None
 
+    def is_zero(self, waux):
+        """Boolean indicator of fully-zero weights, broadcastable against the
+        leading dims of the weighted error (reference CostWeight.is_zero,
+        theseus/core/cost_weight.py:29). The compiled objective uses it to
+        where-mask weighted errors/jacobians — the TPU analog of the
+        reference's masked_jacobians skip (cost_function.py:37): static
+        shapes rule out gather-style skipping, but the mask guarantees
+        zero-weight residuals contribute exactly 0 even if the unweighted
+        error is NaN/inf. None = cannot tell (no masking applied)."""
+        return None
+
 
 class ScaleCostWeight(CostWeight):
     """Scalar scale (reference core/cost_weight.py:60)."""
@@ -67,6 +78,10 @@ class ScaleCostWeight(CostWeight):
         wjacs = None if jacs is None else [j * s[..., None] for j in jacs]
         return werr, wjacs
 
+    def is_zero(self, waux):
+        (s,) = waux  # (..., 1)
+        return s[..., 0] == 0
+
 
 class DiagonalCostWeight(CostWeight):
     """Per-dim diagonal weight (reference core/cost_weight.py:97)."""
@@ -93,3 +108,7 @@ class DiagonalCostWeight(CostWeight):
         werr = err * d
         wjacs = None if jacs is None else [j * d[..., None] for j in jacs]
         return werr, wjacs
+
+    def is_zero(self, waux):
+        (d,) = waux  # (..., dim); zero only if every diagonal entry is zero
+        return jnp.all(d == 0, axis=-1)

@@ -62,6 +62,8 @@ def joint_child_poses(robot: Robot, angles):
     poses: List = []
     for spec in robot.joints:
         theta = angles[..., spec.dof_index]
+        if spec.mimic_of is not None:
+            theta = spec.mimic_mult * theta + spec.mimic_off
         motion = _joint_motion(spec.kind, spec.axis, theta)
         local = se3.compose(jnp.asarray(spec.origin, dtype=angles.dtype), motion)
         if spec.parent_joint is None:
@@ -116,7 +118,11 @@ def get_forward_kinematics_fns(robot: Robot, link_names: Sequence[str]):
                     adj = se3.adjoint(jp[ji])
                 else:
                     adj = se3.adjoint(se3.compose(pose_inv, jp[ji]))
-                cols[ji] = jnp.einsum("...ij,j->...i", adj, xi)
+                col = jnp.einsum("...ij,j->...i", adj, xi)
+                if spec.mimic_of is not None:
+                    col = spec.mimic_mult * col  # chain rule through the mimic map
+                # accumulate (a mimic joint shares its target's dof column)
+                cols[spec.dof_index] = cols[spec.dof_index] + col
             jacs.append(jnp.stack(cols, axis=-1))
         return jacs, tuple(poses)
 

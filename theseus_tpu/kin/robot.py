@@ -26,8 +26,15 @@ class JointSpec:
     origin: np.ndarray  # (3, 4) parent_link -> joint frame (fixed part)
     parent_link: str
     child_link: str
-    dof_index: int
-    parent_joint: Optional[int]  # index of nearest actuated ancestor joint
+    index: int  # position in robot.joints (pose chain index)
+    dof_index: int  # column of the angle vector driving this joint
+    parent_joint: Optional[int]  # robot.joints index of nearest actuated ancestor
+    # mimic joints (URDF <mimic>): q_joint = mimic_mult * q[dof_index] + mimic_off;
+    # they share the mimicked joint's dof (beyond the reference FK, which has
+    # no mimic handling — torchkin/torchkin/robot.py:52 only switches on type)
+    mimic_of: Optional[str] = None
+    mimic_mult: float = 1.0
+    mimic_off: float = 0.0
 
 
 class Robot:
@@ -46,6 +53,8 @@ class Robot:
         # walk up from each link folding fixed joints; assign dof ids in
         # URDF declaration order of actuated joints (reference behavior)
         self.joints: List[JointSpec] = []
+        self._n_dofs = 0
+        self._limits: List[Tuple] = []  # (lower, upper, velocity, effort) per dof
         self._actuated_of_link: Dict[str, Optional[int]] = {self.base_link: None}
         self._offset_of_link: Dict[str, np.ndarray] = {
             self.base_link: np.hstack([np.eye(3), np.zeros((3, 1))])
@@ -78,6 +87,11 @@ class Robot:
                     )
                 elif j.type in _REV_TYPES + _PRISM_TYPES:
                     kind = "revolute" if j.type in _REV_TYPES else "prismatic"
+                    if j.mimic_joint is None:
+                        dof_index = self._n_dofs
+                        self._n_dofs += 1
+                    else:
+                        dof_index = -1  # resolved after the walk (forward refs ok)
                     spec = JointSpec(
                         name=j.name,
                         kind=kind,
@@ -85,12 +99,18 @@ class Robot:
                         origin=se3_mul(self._offset_of_link[j.parent], origin),
                         parent_link=j.parent,
                         child_link=j.child,
-                        dof_index=len(self.joints),
+                        index=len(self.joints),
+                        dof_index=dof_index,
                         parent_joint=self._actuated_of_link[j.parent],
+                        mimic_of=j.mimic_joint,
+                        mimic_mult=j.mimic_multiplier,
+                        mimic_off=j.mimic_offset,
                     )
                     self.joints.append(spec)
-                    self.joint_names.append(j.name)
-                    self._actuated_of_link[j.child] = spec.dof_index
+                    if j.mimic_joint is None:
+                        self.joint_names.append(j.name)
+                        self._limits.append((j.lower, j.upper, j.velocity, j.effort))
+                    self._actuated_of_link[j.child] = spec.index
                     self._offset_of_link[j.child] = np.hstack(
                         [np.eye(3), np.zeros((3, 1))]
                     )
@@ -101,9 +121,47 @@ class Robot:
             raise ValueError("URDF joint graph is not a tree rooted at the base")
         self.link_names = list(processed_links)
 
+        # resolve mimic references (may point forward in declaration order)
+        by_name = {s.name: s for s in self.joints}
+        for s in self.joints:
+            if s.mimic_of is None:
+                continue
+            target = by_name.get(s.mimic_of)
+            if target is None:
+                raise ValueError(
+                    f"joint {s.name} mimics unknown joint {s.mimic_of}"
+                )
+            if target.mimic_of is not None:
+                raise ValueError(
+                    f"joint {s.name} mimics {s.mimic_of}, which is itself a "
+                    "mimic joint (chained mimics are not supported)"
+                )
+            s.dof_index = target.dof_index
+
     @property
     def dof(self) -> int:
-        return len(self.joints)
+        return self._n_dofs
+
+    @property
+    def joint_limits(self) -> np.ndarray:
+        """(dof, 2) lower/upper position limits (inf where unspecified)."""
+        out = np.full((self._n_dofs, 2), np.inf)
+        out[:, 0] = -np.inf
+        for i, (lo, hi, _, _) in enumerate(self._limits):
+            if lo is not None:
+                out[i, 0] = lo
+            if hi is not None:
+                out[i, 1] = hi
+        return out
+
+    @property
+    def velocity_limits(self) -> np.ndarray:
+        """(dof,) velocity limits (inf where unspecified)."""
+        out = np.full((self._n_dofs,), np.inf)
+        for i, (_, _, v, _) in enumerate(self._limits):
+            if v is not None:
+                out[i] = v
+        return out
 
     def link_offset(self, link: str) -> np.ndarray:
         """Static (3,4) offset from the link's nearest actuated joint frame."""

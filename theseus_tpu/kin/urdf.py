@@ -24,6 +24,16 @@ class UrdfJoint:
     axis: Tuple[float, float, float]
     lower: Optional[float] = None
     upper: Optional[float] = None
+    effort: Optional[float] = None
+    velocity: Optional[float] = None
+    damping: Optional[float] = None
+    friction: Optional[float] = None
+    # <mimic joint="..." multiplier="..." offset="..."/>: this joint's value
+    # is multiplier * q[mimic_joint] + offset (URDF spec; beyond the
+    # reference FK, which ignores mimic)
+    mimic_joint: Optional[str] = None
+    mimic_multiplier: float = 1.0
+    mimic_offset: float = 0.0
 
 
 @dataclasses.dataclass
@@ -52,12 +62,26 @@ def parse_urdf(source: str, from_string: bool = False) -> UrdfRobot:
         axis_el = j.find("axis")
         axis = _floats(axis_el.attrib.get("xyz") if axis_el is not None else None, (1.0, 0.0, 0.0))
         limit = j.find("limit")
-        lower = upper = None
+        lower = upper = effort = velocity = None
         if limit is not None:
             if "lower" in limit.attrib:
                 lower = float(limit.attrib["lower"])
             if "upper" in limit.attrib:
                 upper = float(limit.attrib["upper"])
+            if "effort" in limit.attrib:
+                effort = float(limit.attrib["effort"])
+            if "velocity" in limit.attrib:
+                velocity = float(limit.attrib["velocity"])
+        dyn = j.find("dynamics")
+        damping = float(dyn.attrib["damping"]) if dyn is not None and "damping" in dyn.attrib else None
+        friction = float(dyn.attrib["friction"]) if dyn is not None and "friction" in dyn.attrib else None
+        mimic = j.find("mimic")
+        mimic_joint = None
+        mimic_multiplier, mimic_offset = 1.0, 0.0
+        if mimic is not None:
+            mimic_joint = mimic.attrib["joint"]
+            mimic_multiplier = float(mimic.attrib.get("multiplier", 1.0))
+            mimic_offset = float(mimic.attrib.get("offset", 0.0))
         joints.append(
             UrdfJoint(
                 name=j.attrib["name"],
@@ -69,6 +93,13 @@ def parse_urdf(source: str, from_string: bool = False) -> UrdfRobot:
                 axis=axis,
                 lower=lower,
                 upper=upper,
+                effort=effort,
+                velocity=velocity,
+                damping=damping,
+                friction=friction,
+                mimic_joint=mimic_joint,
+                mimic_multiplier=mimic_multiplier,
+                mimic_offset=mimic_offset,
             )
         )
     return UrdfRobot(name=root.attrib.get("name", "robot"), links=links, joints=joints)

@@ -62,6 +62,50 @@ class Group:
     def normalize(self, g):
         return self.mod.normalize(g)
 
+    # --- algebra / matrix-rep ops (reference LieGroupFns surface:
+    # torchlie/torchlie/functional/lie_group.py:332-366) ------------------
+    def hat(self, x):
+        return self.mod.hat(x)
+
+    def vee(self, m):
+        return self.mod.vee(m)
+
+    def lift(self, x):
+        return self.mod.lift(x)
+
+    def project(self, m):
+        return self.mod.project(m)
+
+    def left_act(self, g, m):
+        return self.mod.left_act(g, m)
+
+    def left_project(self, g, m):
+        return self.mod.left_project(g, m)
+
+    def to_matrix(self, g):
+        return self.mod.to_matrix(g)
+
+    # --- point action (transform for SE*, rotate for SO*) ----------------
+    def transform(self, g, p):
+        if hasattr(self.mod, "transform"):
+            return self.mod.transform(g, p)
+        return self.mod.rotate(g, p)
+
+    def untransform(self, g, p):
+        if hasattr(self.mod, "untransform"):
+            return self.mod.untransform(g, p)
+        return self.mod.unrotate(g, p)
+
+    def jtransform(self, g, p):
+        if hasattr(self.mod, "jtransform"):
+            return self.mod.jtransform(g, p)
+        return self.mod.jrotate(g, p)
+
+    def juntransform(self, g, p):
+        if hasattr(self.mod, "juntransform"):
+            return self.mod.juntransform(g, p)
+        return self.mod.junrotate(g, p)
+
     def egrad_to_tangent(self, g, grad):
         """Project a Euclidean gradient onto the right-tangent space."""
         if hasattr(self.mod, "egrad_to_tangent"):

@@ -214,6 +214,52 @@ def juntransform(g, p):
 act = transform
 
 
+def to_matrix(g):
+    """(..., 4) -> homogeneous (..., 3, 3) [[R, t], [0, 1]]."""
+    r = so2.to_matrix(g[..., 2:4])
+    top = jnp.concatenate([r, g[..., 0:2, None]], axis=-1)
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 1.0], dtype=g.dtype), g.shape[:-1] + (1, 3)
+    )
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def hat(x):
+    """Tangent (..., 3)=[lin(2); ang] -> se(2) matrix (..., 3, 3)."""
+    top = jnp.concatenate([so2.hat(x[..., 2:3]), x[..., :2, None]], axis=-1)
+    bottom = jnp.zeros(x.shape[:-1] + (1, 3), dtype=x.dtype)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def vee(m):
+    """(..., 3, 3) -> (..., 3) = [m[:2, 2]; m[1, 0]]."""
+    return jnp.concatenate([m[..., :2, 2], m[..., 1:2, 0]], axis=-1)
+
+
+def lift(x):
+    """(..., 3) -> (..., 2, 3): [hat(ang) | lin] (mirrors se3.lift)."""
+    return jnp.concatenate([so2.hat(x[..., 2:3]), x[..., :2, None]], axis=-1)
+
+
+def project(m):
+    """Adjoint of lift: (..., 2, 3) -> (..., 3) = [m[:, 2]; so2.project(m[:, :2])]."""
+    return jnp.concatenate([m[..., 2], so2.project(m[..., :2])], axis=-1)
+
+
+def left_act(g, m):
+    """Rotation-part left action (mirrors se3.left_act): R(g) @ m, m (..., 2, K)."""
+    return so2.to_matrix(g[..., 2:4]) @ m
+
+
+def left_project(g, m):
+    """Euclidean grad in [R | t] rep (..., 2, 3) -> right tangent (..., 3)."""
+    r = so2.to_matrix(g[..., 2:4])
+    rt = jnp.swapaxes(r, -1, -2)
+    return jnp.concatenate(
+        [(rt @ m[..., 2:3])[..., 0], so2.project(rt @ m[..., :2])], axis=-1
+    )
+
+
 def egrad_to_tangent(g, grad):
     """Euclidean grad (..., 4) -> right-tangent grad (..., 3)."""
     c, s = g[..., 2], g[..., 3]

@@ -292,6 +292,14 @@ def left_project(g, m):
     )
 
 
+def to_matrix(g):
+    """(..., 3, 4) -> homogeneous (..., 4, 4)."""
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], dtype=g.dtype), g.shape[:-2] + (1, 4)
+    )
+    return jnp.concatenate([g, bottom], axis=-2)
+
+
 def identity(*batch, dtype=jnp.float32):
     return jnp.broadcast_to(
         jnp.concatenate([jnp.eye(3, dtype=dtype), jnp.zeros((3, 1), dtype=dtype)], -1),

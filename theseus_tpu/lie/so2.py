@@ -110,6 +110,27 @@ def vee(m):
     return m[..., 1, 0][..., None]
 
 
+lift = hat
+
+
+def project(m):
+    """Adjoint of lift: antisymmetric part of a (..., 2, 2) matrix -> (..., 1)
+    (reference torchlie lift/project duality; <lift(x), m> == <x, project(m)>)."""
+    return (m[..., 1, 0] - m[..., 0, 1])[..., None]
+
+
+def left_act(g, m):
+    """Matrix-rep left action: R(g) @ m for m of shape (..., 2, K)."""
+    return to_matrix(g) @ m
+
+
+def left_project(g, m):
+    """Euclidean grad in matrix rep (..., 2, 2) -> right tangent (..., 1):
+    project(R^T m) (reference torchlie functional left_project convention)."""
+    r = to_matrix(g)
+    return project(jnp.swapaxes(r, -1, -2) @ m)
+
+
 def egrad_to_tangent(g, grad):
     """Euclidean grad (..., 2) wrt (cos, sin) -> right-tangent grad (..., 1).
 

@@ -243,6 +243,11 @@ def left_project(g, m):
     return project(transpose(g) @ m)
 
 
+def to_matrix(g):
+    """Storage is already the rotation matrix (..., 3, 3)."""
+    return g
+
+
 def identity(*batch, dtype=jnp.float32):
     return jnp.broadcast_to(jnp.eye(3, dtype=dtype), tuple(batch) + (3, 3))
 
