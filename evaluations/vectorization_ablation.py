@@ -1,0 +1,108 @@
+"""Vectorization ablation: per-LM-iteration time with schema-bucketed
+vectorization on/off and Pallas fused kernels on/off.
+
+Analog of the reference's paper Fig. 3 reproduction
+(/root/reference/evaluations/vectorization_ablation.sh:1-16, which toggles
+inner_optim.vectorize over pose counts): here the axes are
+compile(vectorize=...) — one bucket per cost vs schema buckets — and
+config.set_use_pallas. Run on the TPU:
+
+    python evaluations/vectorization_ablation.py [--sizes 16,64,256]
+
+Writes evaluations/results_vectorization.md.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OUT = pathlib.Path(__file__).resolve().parent / "results_vectorization.md"
+
+
+def build(n_poses, batch, vectorize, dtype=jnp.float32):
+    import theseus_tpu as tt
+    from theseus_tpu.utils.examples.pose_graph import (
+        build_pgo_objective, pose_values, synthetic_pose_graph)
+
+    gt, edges, meas, init = synthetic_pose_graph(
+        n_poses=n_poses, batch=batch, seed=0, dtype=dtype)
+    obj, _ = build_pgo_objective(n_poses, edges, meas, gt[0], dtype=dtype)
+    opt = tt.LevenbergMarquardt(obj, max_iterations=10, adaptive_damping=True,
+                                linearization="sparse")
+    layer = tt.TheseusLayer(opt)
+    co = obj.compile(vectorize=vectorize)
+    values = obj.default_values(pose_values(init))
+    state = co.pack(values, batch)
+    aux = co.build_aux(values, batch)
+    return layer, state, aux
+
+
+def per_iter_ms(layer, state, aux, base=2, extra=8):
+    opts = layer.optimizer.opts
+
+    def make(n):
+        @jax.jit
+        def fwd(state, aux):
+            carry = layer.optimizer.init_carry(state, aux, opts)
+            carry = layer.optimizer.run_scan(carry, aux, n, opts)
+            return carry["err"]
+        return fwd
+
+    f_a, f_b = make(base), make(base + extra)
+    np.asarray(f_a(state, aux)); np.asarray(f_b(state, aux))
+
+    def t(f):
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(f(state, aux))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(f_b) - t(f_a)) / extra * 1e3
+
+
+def main(sizes, batch):
+    from theseus_tpu import config
+
+    rows = []
+    for n_poses in sizes:
+        for vec, pallas in ((False, False), (True, False), (True, "auto")):
+            config.set_use_pallas(pallas)
+            try:
+                t0 = time.time()
+                layer, state, aux = build(n_poses, batch, vectorize=vec)
+                ms = per_iter_ms(layer, state, aux)
+                compile_s = time.time() - t0
+            except Exception as e:  # huge unvectorized traces can blow up
+                print(f"poses={n_poses} vec={vec} pallas={pallas}: FAILED {e}")
+                rows.append((n_poses, vec, pallas, float("nan"), float("nan")))
+                continue
+            finally:
+                config.set_use_pallas("auto")
+            rows.append((n_poses, vec, pallas, ms, compile_s))
+            print(f"poses={n_poses:4d} vectorize={vec!s:5s} pallas={pallas!s:5s}: "
+                  f"{ms:8.2f} ms/iter (compile {compile_s:.0f}s)", flush=True)
+
+    with open(OUT, "w") as f:
+        f.write("# Vectorization ablation (PGO SE3, batch %d)\n\n" % batch)
+        f.write("| poses | vectorize | pallas | ms/LM-iter | compile (s) |\n")
+        f.write("|---|---|---|---|---|\n")
+        for n, v, p, ms, cs in rows:
+            f.write(f"| {n} | {v} | {p} | {ms:.2f} | {cs:.0f} |\n")
+    print(f"wrote {OUT}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--sizes", default="16,64")
+    p.add_argument("--batch", type=int, default=16)
+    a = p.parse_args()
+    main([int(s) for s in a.sizes.split(",")], a.batch)

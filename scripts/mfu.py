@@ -1,0 +1,79 @@
+"""MFU estimate for the flagship PGO solve: XLA-counted FLOPs per LM
+iteration / measured time / peak.
+
+Uses the compiled executable's own cost analysis (XLA's flop count for the
+exact HLO being run) rather than a hand model, so fused/eliminated work is
+not double-counted. Run on the TPU:
+
+    python scripts/mfu.py [--n-poses 256 --batch 128]
+
+Notes: TPU v5e peak is 197 TFLOP/s bf16 / ~49 TFLOP/s fp32 (MXU passes).
+The solver pins f32 matmul precision (config.SOLVER_MATMUL_PRECISION), so
+MFU is reported against the fp32 peak; the bf16 number is shown for context.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import numpy as np
+
+import bench
+
+PEAK_F32 = 49.2e12  # v5e MXU fp32-equivalent
+PEAK_BF16 = 197e12
+
+
+def main(n_poses, batch, linearization, base=2, extra=8):
+    layer, state, aux = bench.build(
+        n_poses=n_poses, batch=batch, linearization=linearization)
+    opts = layer.optimizer.opts
+
+    def make(n):
+        def fwd(state, aux):
+            carry = layer.optimizer.init_carry(state, aux, opts)
+            carry = layer.optimizer.run_scan(carry, aux, n, opts)
+            return carry["err"]
+        return fwd
+
+    lowered_a = jax.jit(make(base)).lower(state, aux)
+    lowered_b = jax.jit(make(base + extra)).lower(state, aux)
+    comp_a, comp_b = lowered_a.compile(), lowered_b.compile()
+
+    def flops(comp):
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+
+    df = (flops(comp_b) - flops(comp_a)) / extra  # flops per marginal LM iter
+
+    def t(comp):
+        np.asarray(comp(state, aux))  # warm
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(comp(state, aux))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    dt = (t(comp_b) - t(comp_a)) / extra
+    achieved = df / dt
+    print(f"poses={n_poses} batch={batch} {linearization}: "
+          f"{df/1e9:.3f} GFLOP/iter, {dt*1e3:.3f} ms/iter")
+    print(f"achieved {achieved/1e12:.3f} TFLOP/s  "
+          f"MFU {achieved/PEAK_F32*100:.2f}% of f32 peak "
+          f"({achieved/PEAK_BF16*100:.2f}% of bf16 peak)")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--n-poses", type=int, default=256)
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--linearization", default="sparse")
+    a = p.parse_args()
+    main(a.n_poses, a.batch, a.linearization)

@@ -118,6 +118,25 @@ def test_juntransform_fd(group):
         np.testing.assert_allclose(jg[..., i], (fp - fm) / (2 * h), atol=1e-6)
 
 
+def test_jquaternion_to_rotation_fd():
+    """J maps raw quaternion perturbations to the rotation's right tangent:
+    log(R(q)^T R(q+dq)) ~= J dq (reference so3_impl.py:855-900)."""
+    from theseus_tpu.lie import so3
+
+    q = jax.random.normal(jax.random.PRNGKey(20), (4,), dtype=jnp.float64)
+    q = q / jnp.linalg.norm(q) * 1.3  # deliberately non-unit: J includes d(normalize)
+    (jac,), r = so3.jquaternion_to_rotation(q)
+    np.testing.assert_allclose(r, so3.quaternion_to_rotation(q), atol=1e-12)
+    h = 1e-6
+    for i in range(4):
+        e = jnp.zeros(4, dtype=jnp.float64).at[i].set(h)
+        rp = so3.quaternion_to_rotation(q + e)
+        rm = so3.quaternion_to_rotation(q - e)
+        tw = (so3.log(so3.compose(so3.inverse(r), rp))
+              - so3.log(so3.compose(so3.inverse(r), rm))) / (2 * h)
+        np.testing.assert_allclose(jac[:, i], tw, atol=1e-6)
+
+
 class TestLieArraySurface:
     def test_jexp_and_jretract(self):
         key = jax.random.PRNGKey(6)

@@ -18,9 +18,9 @@ ROOT = pathlib.Path(__file__).resolve().parents[1]
 
 FAST = [
     ("simple_example.py", []),
-    ("lie_api.py", []),
 ]
 SLOW = [
+    ("lie_api.py", []),
     ("backward_modes.py", []),
     ("homography_estimation.py", []),
     ("inverse_kinematics.py", []),
@@ -31,6 +31,7 @@ SLOW = [
     ("pose_graph_benchmark.py", ["--n-poses", "32", "--iters", "3"]),
     ("pose_graph_synthetic.py", ["--n-poses", "16", "--batch", "2",
                                  "--epochs", "2"]),
+    ("pose_graph_cube.py", ["--n-per-edge", "2"]),
 ]
 
 
@@ -38,6 +39,10 @@ def _run(script, args):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
+    # share the suite's persistent XLA compile cache (examples are
+    # compile-bound; warm re-runs take seconds)
+    env["JAX_COMPILATION_CACHE_DIR"] = str(ROOT / ".jax_cache")
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.3"
     out = subprocess.run(
         [sys.executable, str(ROOT / "examples" / script), *args],
         capture_output=True, text=True, timeout=900, env=env,

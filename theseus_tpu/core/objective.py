@@ -89,9 +89,18 @@ class Objective:
     def dim(self) -> int:
         return sum(cf.dim() for cf in self.cost_functions.values())
 
-    def compile(self) -> CompiledObjective:
-        if self._compiled is None:
-            self._compiled = compile_objective(self)
+    def compile(self, vectorize: Optional[bool] = None) -> CompiledObjective:
+        """vectorize: True = schema-bucketed (default), False = one bucket
+        per cost (Vectorize-off ablation analog), None = reuse the cached
+        compilation whatever its mode (or vectorized if none cached)."""
+        if self._compiled is not None and (
+            vectorize is None
+            or getattr(self._compiled, "_vectorized", True) == vectorize
+        ):
+            return self._compiled
+        want = True if vectorize is None else vectorize
+        self._compiled = compile_objective(self, vectorize=want)
+        self._compiled._vectorized = want
         return self._compiled
 
     # ------------------------------------------------------------------

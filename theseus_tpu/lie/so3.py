@@ -287,6 +287,21 @@ def quaternion_to_rotation(q):
     )
 
 
+def jquaternion_to_rotation(q):
+    """Jacobian (..., 3, 4) of the rotation's right tangent w.r.t. the raw
+    quaternion params, plus the rotation (reference so3_impl.py:855-900
+    _jquaternion_to_rotation_impl; includes the normalization derivative)."""
+    norm = jnp.linalg.norm(q, axis=-1, keepdims=True)
+    qn = q / norm
+    ret = quaternion_to_rotation(qn)
+    temp = -2.0 * qn / norm
+    t_w, t_vec = temp[..., 0], temp[..., 1:]
+    eye = jnp.eye(3, dtype=q.dtype)
+    jac3 = hat(t_vec) - t_w[..., None, None] * eye
+    jac = jnp.concatenate([t_vec[..., None], jac3], axis=-1)
+    return [jac], ret
+
+
 def rotation_to_quaternion(g):
     """(..., 3, 3) -> (..., 4) wxyz, w >= 0. Shepperd's branch-free-ish method."""
     m00, m01, m02 = g[..., 0, 0], g[..., 0, 1], g[..., 0, 2]
