@@ -1,6 +1,7 @@
 """Per-component timing of the flagship sparse LM iteration: linearize,
-assemble, factorize, triangular solve, retract — each jitted and timed
-separately to locate the next optimization target.
+assemble, factorize, triangular solve, retract — each timed by the marginal
+method (a jitted fori_loop of N chained applications; (t(N2)-t(N1))/(N2-N1))
+so the remote-tunnel dispatch latency cancels out.
 
 Run on the TPU:  python scripts/profile_flagship.py [--n-poses 256 --batch 128]
 """
@@ -19,16 +20,45 @@ import numpy as np
 import bench
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
-    jax.tree_util.tree_map(np.asarray, out)  # sync via host transfer
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.tree_util.tree_map(np.asarray, out)
-        ts.append(time.perf_counter() - t0)
-    return min(ts) * 1e3
+def _dep(y):
+    """A numerically-negligible scalar that data-depends on EVERY leaf of y.
+    NOT a literal zero: XLA's algebraic simplifier folds mul-by-0 and would
+    dead-code the loop body; and summing only one leaf would leave the other
+    outputs dead. 1e-30 * sum underflows to ~0 in f32 arithmetic but keeps
+    all dependency edges alive."""
+    leaves = jax.tree_util.tree_leaves(y)
+    if not leaves:
+        return 0.0
+    s = sum(jnp.sum(l) for l in leaves)
+    return s * 1e-30
+
+
+def chained_ms(f, x, n1=2, n2=42, reps=5):
+    """ms per application of f, via chained fori_loop marginal timing.
+    f: pytree -> pytree. The loop feeds a zero-valued dependency on each
+    output back into the input so XLA executes every iteration."""
+
+    def loop(x, n):
+        def body(i, x):
+            y = f(x)
+            d = _dep(y).astype(jax.tree_util.tree_leaves(x)[0].dtype)
+            return jax.tree_util.tree_map(lambda t: t + d.astype(t.dtype), x)
+        return jax.lax.fori_loop(0, n, body, x)
+
+    g1 = jax.jit(lambda x: loop(x, n1))
+    g2 = jax.jit(lambda x: loop(x, n2))
+    jax.tree_util.tree_map(np.asarray, g1(x))
+    jax.tree_util.tree_map(np.asarray, g2(x))
+
+    def t(g):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.tree_util.tree_map(np.asarray, g(x))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    return (t(g2) - t(g1)) / (n2 - n1) * 1e3
 
 
 def main(n_poses, batch):
@@ -42,45 +72,45 @@ def main(n_poses, batch):
     co = opt.objective.compile()
     bld = SparseNormalBuilder(co)
 
-    lin = jax.jit(lambda s, a: co.linearize_blocks(s, a))
-    blocks = lin(state, aux)
-    print(f"linearize_blocks : {timeit(lin, state, aux):9.3f} ms")
+    blocks = jax.jit(lambda s, a: co.linearize_blocks(s, a))(state, aux)
+    ata, atb = jax.jit(lambda b: assemble(bld.pattern, co, b))(blocks)
+    ata_d = jax.jit(lambda a: apply_block_damping(
+        bld.pattern, a, 1e-3, True, bld.damping_eps))(ata)
+    lflat = jax.jit(lambda a: factorize(bld.sched, a))(ata_d)
 
-    asm = jax.jit(lambda b: assemble(bld.pattern, co, b))
-    ata, atb = asm(blocks)
-    print(f"assemble AtA/Atb : {timeit(asm, blocks):9.3f} ms")
-
-    damp = jax.jit(lambda a: apply_block_damping(bld.pattern, a, 1e-3, True,
-                                                 bld.damping_eps))
-    ata_d = damp(ata)
-    print(f"block damping    : {timeit(damp, ata):9.3f} ms")
-
-    fac = jax.jit(lambda a: factorize(bld.sched, a))
-    lflat = fac(ata_d)
-    print(f"factorize (chol) : {timeit(fac, ata_d):9.3f} ms")
-
-    sol = jax.jit(lambda l, b: solve_with_factor(bld.sched, l, b))
-    _ = sol(lflat, atb)
-    print(f"triangular solve : {timeit(sol, lflat, atb):9.3f} ms")
+    rows = [
+        ("linearize_blocks", chained_ms(
+            lambda x: co.linearize_blocks(x[0], x[1]), (state, aux))),
+        ("assemble AtA/Atb", chained_ms(
+            lambda b: assemble(bld.pattern, co, b), blocks)),
+        ("block damping", chained_ms(
+            lambda a: apply_block_damping(bld.pattern, a, 1e-3, True,
+                                          bld.damping_eps), ata)),
+        ("factorize (chol)", chained_ms(
+            lambda a: factorize(bld.sched, a), ata_d)),
+        ("triangular solve", chained_ms(
+            lambda x: solve_with_factor(bld.sched, x[0], x[1]),
+            (lflat, atb))),
+    ]
 
     from theseus_tpu.lie import se3
 
-    delta = jax.jit(lambda l, b: bld.flatten(solve_with_factor(bld.sched, l, b)))(
-        lflat, atb)
+    delta = jax.jit(
+        lambda l, b: bld.flatten(solve_with_factor(bld.sched, l, b)))(lflat, atb)
 
-    def retract_all(s, d):
+    def retract_all(x):
+        s, d = x
         poses = s["SE3"]  # (N, B, 3, 4)
         n = poses.shape[0]
         dd = jnp.moveaxis(d.reshape(d.shape[0], n, 6), 0, 1)
         return se3.compose(poses, se3.exp(dd))
 
-    ret = jax.jit(retract_all)
-    _ = ret(state, delta)
-    print(f"retract (exp+cmp): {timeit(ret, state, delta):9.3f} ms")
+    rows.append(("retract (exp+cmp)", chained_ms(retract_all, (state, delta))))
+    rows.append(("error metric", chained_ms(
+        lambda x: co.error_metric(x[0], x[1]), (state, aux))))
 
-    err = jax.jit(lambda s, a: co.error_metric(s, a))
-    _ = err(state, aux)
-    print(f"error metric     : {timeit(err, state, aux):9.3f} ms")
+    for name, ms in rows:
+        print(f"{name:18s}: {ms:9.3f} ms")
 
     # whole-iteration reference
     opts = opt.opts
@@ -93,11 +123,21 @@ def main(n_poses, batch):
             return carry["err"]
         return fwd
 
-    f2, f10 = make(2), make(10)
-    np.asarray(f2(state, aux)); np.asarray(f10(state, aux))
-    t2 = timeit(f2, state, aux, reps=3)
-    t10 = timeit(f10, state, aux, reps=3)
-    print(f"full LM iter     : {(t10 - t2) / 8:9.3f} ms (marginal)")
+    f2, f10, f26 = make(2), make(10), make(26)
+    for f in (f2, f10, f26):
+        np.asarray(f(state, aux))
+
+    def t(f):
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            np.asarray(f(state, aux))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t2, t10, t26 = t(f2), t(f10), t(f26)
+    print(f"{'full LM iter':18s}: {(t10 - t2) / 8:9.3f} ms "
+          f"({(t26 - t10) / 16:9.3f} ms over 10->26)")
 
 
 if __name__ == "__main__":

@@ -125,26 +125,41 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
     atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=dtype)
 
     # scatter-adds are slow on TPU; when the one-hot matrix is small enough,
-    # turn the segment reduction into a matmul that runs on the MXU
-    def seg_add(dest, idx, contrib, n_out):
+    # turn the segment reduction into a matmul that runs on the MXU.
+    # mask (static bool (k,)): only those columns contribute — encoded as
+    # zero columns in the one-hot (no gather needed).
+    def seg_add(dest, idx, contrib, n_out, mask=None):
         k = contrib.shape[0]
         if n_out * k <= (1 << 22):
             onehot = np.zeros((n_out, k), dtype=np.float32)
-            onehot[idx, np.arange(k)] = 1.0
+            sel = np.arange(k) if mask is None else np.flatnonzero(mask)
+            onehot[idx[sel], sel] = 1.0
             flat = contrib.reshape(k, -1)
             add = jnp.einsum(
                 "sk,kf->sf", jnp.asarray(onehot, dtype), flat
             ).reshape((n_out,) + contrib.shape[1:])
             return dest + add
+        if mask is not None:
+            m = jnp.asarray(mask, contrib.dtype).reshape(
+                (k,) + (1,) * (contrib.ndim - 1))
+            contrib = contrib * m
         return dest.at[idx].add(contrib)
 
     for bi, (jacs, err) in enumerate(blocks):
         jacs_p = [_pad_jac(j, d) for j in jacs]
-        # Atb contributions: -J_s^T e  (b = -err convention)
-        for s, gv in enumerate(pattern.bucket_gvars[bi]):
-            contrib = -jnp.einsum("kbmi,kbm->kbi", jacs_p[s], err)
-            atb = seg_add(atb, gv, contrib, pattern.n_vars)
+        # Atb contributions -J_s^T e (b = -err convention), all slots batched
+        # into ONE einsum + ONE segment reduction
+        gvs = pattern.bucket_gvars[bi]
+        jac_cat = jnp.concatenate(jacs_p, axis=0) if len(jacs_p) > 1 else jacs_p[0]
+        err_cat = (
+            jnp.concatenate([err] * len(jacs_p), axis=0) if len(jacs_p) > 1 else err
+        )
+        contrib = -jnp.einsum("kbmi,kbm->kbi", jac_cat, err_cat)
+        atb = seg_add(atb, np.concatenate(gvs), contrib, pattern.n_vars)
         for (s, t, tgt, needs_t, also_diag) in pattern.bucket_pair_sched[bi]:
+            # C = J_s^T J_t stored at canonical (lo, hi) orientation; edges
+            # with needs_t store C^T. also_diag edges (same var in both slots
+            # of one cost) accumulate C + C^T on the diagonal block.
             C = jnp.einsum("kbmi,kbmj->kbij", jacs_p[s], jacs_p[t])
             Cc = jnp.where(
                 needs_t[:, None, None, None], jnp.swapaxes(C, -1, -2), C
