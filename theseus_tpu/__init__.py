@@ -67,6 +67,7 @@ from .optim import (
     LinearOptimizer,
     NonlinearOptimizerStatus,
     OptimizerInfo,
+    VariableOrdering,
 )
 from .optim.gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
 

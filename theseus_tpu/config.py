@@ -111,6 +111,20 @@ def solver_precision():
 
 
 # ---------------------------------------------------------------------------
+# Sparse-solver block padding: round the uniform block dof up to a multiple
+# of this value (e.g. 8 = TPU f32 sublane count, so 6-dof SE3 blocks tile as
+# 8x8 instead of a ragged 6x6). Padding dims carry identity diagonals in the
+# assembled system, so solves are unaffected. 1 disables.
+# ---------------------------------------------------------------------------
+SPARSE_BLOCK_PAD_MULTIPLE = 1
+
+
+def set_sparse_block_pad(multiple: int) -> None:
+    global SPARSE_BLOCK_PAD_MULTIPLE
+    SPARSE_BLOCK_PAD_MULTIPLE = int(multiple)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused-kernel gate: "auto" enables fused cost kernels on TPU backends
 # for float32; True/False force. (Fused kernels use a polynomial atan2 with
 # ~1e-7 f32 accuracy — bit-exactness with the pure-JAX path is not promised.)

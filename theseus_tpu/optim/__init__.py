@@ -12,3 +12,4 @@ from .nonlinear import (
 from .dcem import DCEM, DCEMOptions
 from .gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
 from .lml import lml
+from .ordering import VariableOrdering

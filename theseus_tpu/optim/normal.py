@@ -112,6 +112,9 @@ class SparseNormalBuilder:
             self.sched = None
             self.pcg_sched = PCGSchedule(self.pattern)
         else:
+            from .ordering import resolve_ordering
+
+            ordering = resolve_ordering(ordering, co.var_names)
             self.sym = symbolic_factor(
                 self.pattern.n_vars, self.pattern.pairs, self.pattern.d, ordering
             )

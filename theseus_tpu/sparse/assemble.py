@@ -42,6 +42,11 @@ def build_block_pattern(co: CompiledObjective) -> BlockPattern:
     n_vars = len(co.var_names)
     var_dofs = np.array([co.var_groups[n].dof for n in co.var_names])
     d = int(var_dofs.max())
+    from .. import config as _config
+
+    m = _config.SPARSE_BLOCK_PAD_MULTIPLE
+    if m > 1:
+        d = ((d + m - 1) // m) * m
 
     pair_slot: Dict[Tuple[int, int], int] = {}
     pairs: Set[Tuple[int, int]] = set()

@@ -143,14 +143,23 @@ def symbolic_factor(
     n: int,
     pairs: Set[Tuple[int, int]],
     d: int,
-    ordering: str = "amd",
+    ordering="amd",
 ) -> SymbolicFactor:
     """Compute fill pattern + static left-looking schedule.
 
-    pairs: set of undirected off-diagonal block pairs (i, j), original ids."""
+    pairs: set of undirected off-diagonal block pairs (i, j), original ids.
+    ordering: strategy string ("amd" | "rcm" | "nd" | "natural") or an
+    explicit permutation array (perm[k] = original id of the k-th eliminated
+    variable — the user-facing `VariableOrdering` path,
+    reference optimizer/variable_ordering.py:11)."""
     # native (C++) fast path for ordering + fill + etree; Python fallback
     native = None
-    if ordering in ("natural", "amd", "nd") and pairs:
+    explicit_perm = not isinstance(ordering, str)
+    if explicit_perm:
+        ordering = np.asarray(ordering, dtype=np.int64)
+        if sorted(ordering.tolist()) != list(range(n)):
+            raise ValueError("explicit ordering must be a permutation of 0..n-1")
+    if not explicit_perm and ordering in ("natural", "amd", "nd") and pairs:
         try:
             from ..native import native_symbolic
 
@@ -165,7 +174,9 @@ def symbolic_factor(
         iperm = np.empty(n, dtype=np.int64)
         iperm[perm] = np.arange(n)
     else:
-        if ordering == "amd":
+        if explicit_perm:
+            perm = ordering
+        elif ordering == "amd":
             perm = amd_ordering(n, pairs)
         elif ordering == "rcm":
             perm = rcm_ordering(n, pairs)
