@@ -100,3 +100,33 @@ def test_easyaug():
     )
     out = photo_aug(key, img)
     assert out.shape == img.shape and float(out.min()) >= 0 and float(out.max()) <= 1
+
+
+def test_easyaug_classes():
+    """RandomGeoAug / RandomPhotoAug parity surface (reference
+    third_party/easyaug.py:90,339)."""
+    from theseus_tpu.utils.examples.easyaug import (
+        GeoAugParam, RandomGeoAug, RandomPhotoAug)
+
+    key = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(key, (2, 16, 20))
+    ga = RandomGeoAug()
+    out, T = ga.forward(key, imgs, return_transform=True)
+    assert out.shape == imgs.shape and T.shape == (2, 3, 3)
+    ga.set_all_identity()
+    np.testing.assert_allclose(
+        np.asarray(ga.forward(key, imgs)), np.asarray(imgs), atol=1e-4)
+    # channel form
+    imgs4 = jax.random.uniform(key, (2, 3, 16, 20))
+    assert RandomGeoAug(
+        scale_param=GeoAugParam(0.95, 1.05)
+    ).forward(key, imgs4).shape == imgs4.shape
+
+    pa = RandomPhotoAug()
+    pa.set_all_probs(1.0)
+    o = pa.forward(key, imgs)
+    assert o.shape == imgs.shape and np.isfinite(np.asarray(o)).all()
+    assert float(jnp.abs(o - imgs).max()) > 1e-3
+    pa.set_all_probs(0.0)
+    np.testing.assert_allclose(np.asarray(pa.forward(key, imgs)),
+                               np.asarray(imgs))
