@@ -32,6 +32,8 @@ SLOW = [
     ("pose_graph_synthetic.py", ["--n-poses", "16", "--batch", "2",
                                  "--epochs", "2"]),
     ("pose_graph_cube.py", ["--n-per-edge", "2"]),
+    ("se2_inverse.py", ["--iters", "50"]),
+    ("tactile_pose_estimation.py", ["--time-steps", "4", "--outer-steps", "1"]),
 ]
 
 
