@@ -45,7 +45,7 @@ def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32):
     return layer, state, aux, prob
 
 
-def per_iter_ms(layer, state, aux, base=2, extra=8):
+def per_iter_ms(layer, state, aux, base=4, extra=24):
     opts = layer.optimizer.opts
 
     def make(n):

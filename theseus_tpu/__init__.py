@@ -19,6 +19,27 @@ import jax as _jax
 # explicit `precision=` there.
 _jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent XLA compilation cache: compiles are the dominant setup cost on
+# remote-attached TPU backends (measured ~0.5 s per tiny eager op, ~100 s for
+# a mid-sized program over the tunnel), and solver programs recur across
+# processes. Opt out by setting THESEUS_TPU_NO_CACHE.
+import os as _os
+
+if not _os.environ.get("THESEUS_TPU_NO_CACHE"):
+    _cache = _os.environ.get(
+        "THESEUS_TPU_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "theseus_tpu_jax"),
+    )
+    try:
+        if not _jax.config.jax_compilation_cache_dir:  # respect prior config
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
+            _jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 0.5
+            )
+    except Exception:
+        pass
+
 from . import lie
 from .config import set_global_params
 from .core import (

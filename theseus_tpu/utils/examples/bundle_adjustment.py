@@ -48,19 +48,27 @@ class BAProblem:
         return self.points.shape[0]
 
 
-def synthetic_ba(
-    num_cameras: int = 8,
-    num_points: int = 50,
-    batch: int = 1,
-    seed: int = 0,
-    pixel_noise: float = 1e-3,
-    pose_noise: float = 0.05,
-    point_noise: float = 0.05,
-    outlier_fraction: float = 0.0,
-    visibility: float = 1.0,
-    focal: float = 1000.0,
+@partial(
+    jax.jit,
+    static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10, 11),
+)
+def _synthetic_ba_tensors(
+    obs_cam,
+    obs_pt,
+    num_cameras,
+    num_points,
+    batch,
+    seed,
+    pixel_noise,
+    pose_noise,
+    point_noise,
+    outlier_fraction,
+    focal,
     dtype=jnp.float64,
-) -> BAProblem:
+):
+    """The tensor half of synthetic_ba as ONE jitted program: on a remote
+    TPU backend, eager dispatch would pay a per-op compile round-trip
+    (measured: ~75 s of setup for a tiny problem vs <1 s jitted)."""
     key = jax.random.PRNGKey(seed)
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
@@ -82,23 +90,6 @@ def synthetic_ba(
         (num_cameras, batch, 3, 4),
     )
     focals = jnp.full((num_cameras, batch, 1), focal, dtype)
-    k1c = jnp.zeros((num_cameras, batch, 1), dtype)
-    k2c = jnp.zeros((num_cameras, batch, 1), dtype)
-
-    # observations: each camera sees a deterministic subset of points
-    # (visibility < 1 gives the sparse bipartite structure of real BA)
-    obs_cam_all = np.repeat(np.arange(num_cameras), num_points)
-    obs_pt_all = np.tile(np.arange(num_points), num_cameras)
-    if visibility < 1.0:
-        keep = (obs_cam_all + obs_pt_all * 7) % 100 < int(visibility * 100)
-        # ensure each point is seen by >= 2 cameras
-        for pi in range(num_points):
-            idx = np.where(obs_pt_all == pi)[0]
-            if keep[idx].sum() < 2:
-                keep[idx[:2]] = True
-        obs_cam, obs_pt = obs_cam_all[keep], obs_pt_all[keep]
-    else:
-        obs_cam, obs_pt = obs_cam_all, obs_pt_all
 
     def project(pose, pt, f):
         pc = se3.transform(pose, pt)
@@ -107,7 +98,7 @@ def synthetic_ba(
 
     obs_img = jax.vmap(
         lambda ci, pi: project(poses[ci], points[pi], focals[ci])
-    )(jnp.asarray(obs_cam), jnp.asarray(obs_pt))
+    )(obs_cam, obs_pt)
     obs_img = obs_img + pixel_noise * jax.random.normal(k2, obs_img.shape, dtype=dtype)
     if outlier_fraction > 0:
         out_mask = (
@@ -121,13 +112,53 @@ def synthetic_ba(
         poses, se3.exp(pose_noise * jax.random.normal(k3, (num_cameras, batch, 6), dtype=dtype))
     )
     noisy_points = points + point_noise * jax.random.normal(k4, points.shape, dtype=dtype)
+    return noisy_poses, noisy_points, focals, obs_img, poses, points
 
+
+def synthetic_ba(
+    num_cameras: int = 8,
+    num_points: int = 50,
+    batch: int = 1,
+    seed: int = 0,
+    pixel_noise: float = 1e-3,
+    pose_noise: float = 0.05,
+    point_noise: float = 0.05,
+    outlier_fraction: float = 0.0,
+    visibility: float = 1.0,
+    focal: float = 1000.0,
+    dtype=jnp.float64,
+) -> BAProblem:
+    # observations: each camera sees a deterministic subset of points
+    # (visibility < 1 gives the sparse bipartite structure of real BA);
+    # index logic on the host (numpy)
+    obs_cam_all = np.repeat(np.arange(num_cameras), num_points)
+    obs_pt_all = np.tile(np.arange(num_points), num_cameras)
+    if visibility < 1.0:
+        keep = (obs_cam_all + obs_pt_all * 7) % 100 < int(visibility * 100)
+        # ensure each point is seen by >= 2 cameras
+        for pi in range(num_points):
+            idx = np.where(obs_pt_all == pi)[0]
+            if keep[idx].sum() < 2:
+                keep[idx[:2]] = True
+        obs_cam, obs_pt = obs_cam_all[keep], obs_pt_all[keep]
+    else:
+        obs_cam, obs_pt = obs_cam_all, obs_pt_all
+
+    noisy_poses, noisy_points, focals, obs_img, poses, points = (
+        _synthetic_ba_tensors(
+            jnp.asarray(obs_cam), jnp.asarray(obs_pt),
+            num_cameras, num_points, batch, seed,
+            pixel_noise, pose_noise, point_noise, outlier_fraction, focal,
+            dtype,
+        )
+    )
+    zc = jnp.zeros((num_cameras, batch, 1), dtype)
     return BAProblem(
         poses=noisy_poses,
         points=noisy_points,
         focals=focals,
-        k1=k1c,
-        k2=k2c,
+        k1=zc,
+        k2=zc,
         obs_cam=obs_cam,
         obs_pt=obs_pt,
         obs_img=obs_img,
