@@ -146,3 +146,35 @@ def test_compute_samples():
     np.testing.assert_allclose(s.mean(axis=1), np.asarray(target), atol=0.5)
     std = s.std(axis=1)
     np.testing.assert_allclose(std, 1.0, atol=0.45)
+
+
+def test_autograd_mode_fwd_rev_agree():
+    """autograd_mode='rev' produces the same tangent jacobians as 'fwd'
+    (the reference's AutogradMode ablation axis, core/cost_function.py:161)."""
+    key = jax.random.PRNGKey(3)
+    x = tt.SE3(name="x")
+    tv = tt.Variable(jnp.ones((1, 3)), name="t")
+
+    def err_fn(optim, aux):
+        (g,) = optim
+        (t,) = aux
+        from theseus_tpu.lie import se3
+        return se3.transform(g, t) - t
+
+    jacs = {}
+    for mode in ("fwd", "rev"):
+        cf = tt.AutoDiffCostFunction([x], 3, err_fn, aux_vars=[tv],
+                                     autograd_mode=mode)
+        obj = tt.Objective()
+        obj.add(cf)
+        co = obj.compile()
+        from theseus_tpu.lie import se3 as se3m
+        vals = {"x": se3m.exp(0.3 * jax.random.normal(key, (1, 6))),
+                "t": jnp.ones((1, 3))}
+        state = co.pack(obj.default_values(vals), 1)
+        aux = co.build_aux(obj.default_values(vals), 1)
+        blocks = co.linearize_blocks(state, aux)
+        jacs[mode] = np.asarray(blocks[0][0][0])
+    np.testing.assert_allclose(jacs["fwd"], jacs["rev"], rtol=1e-10, atol=1e-12)
+    with pytest.raises(ValueError):
+        tt.AutoDiffCostFunction([x], 3, err_fn, autograd_mode="bogus")

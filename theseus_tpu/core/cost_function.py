@@ -72,6 +72,12 @@ class CostFunction:
             return lambda optim, aux: self.jacobians_impl(optim, aux)
         groups = tuple(v.group for v in self.optim_vars)
 
+        # forward- vs reverse-mode tangent jacobians: the analog of the
+        # reference's AutogradMode ablation (core/cost_function.py:161).
+        # "fwd" (default) is right when dim >= total dof (most residuals);
+        # "rev" wins for low-dim residuals over many/large variables.
+        jac_op = jax.jacrev if getattr(self, "autograd_mode", "fwd") == "rev" else jax.jacfwd
+
         def jfn(optim, aux):
             def at(deltas):
                 retracted = tuple(
@@ -80,7 +86,7 @@ class CostFunction:
                 return self.error_impl(retracted, aux)
 
             zeros = tuple(jnp.zeros(g.dof, dtype=optim[0].dtype) for g in groups)
-            err, jacs = at(zeros), jax.jacfwd(at)(zeros)
+            err, jacs = at(zeros), jac_op(at)(zeros)
             return list(jacs), err
 
         return jfn
@@ -119,10 +125,14 @@ class AutoDiffCostFunction(CostFunction):
         aux_vars: Sequence[Variable] = (),
         cost_weight: Optional[CostWeight] = None,
         name: Optional[str] = None,
+        autograd_mode: str = "fwd",
     ):
         super().__init__(optim_vars, aux_vars, cost_weight, name)
         self._dim = dim
         self._err_fn = err_fn
+        if autograd_mode not in ("fwd", "rev"):
+            raise ValueError("autograd_mode must be 'fwd' or 'rev'")
+        self.autograd_mode = autograd_mode
 
     def dim(self) -> int:
         return self._dim
@@ -131,7 +141,7 @@ class AutoDiffCostFunction(CostFunction):
         return self._err_fn(optim, aux)
 
     def schema(self):
-        return super().schema() + (id(self._err_fn),)
+        return super().schema() + (id(self._err_fn), self.autograd_mode)
 
 
 class RobustCostFunction(CostFunction):
