@@ -85,6 +85,7 @@ _SLOW_NODEIDS = {
     "tests/test_reference_parity.py::test_se3_ops_match_reference",
     "tests/optim/test_utils_extra.py::test_easyaug",
     "tests/optim/test_utils_extra.py::test_easyaug_classes",
+    "tests/optim/test_pallas_kernels.py::test_pallas_level_factorize_matches_jax",
     "tests/lie/test_ops.py::test_vmap_composes",
     "tests/core/test_layer_dense.py::test_backward_modes_match_fd[truncated]",
     "tests/core/test_layer_dense.py::test_curve_fit_converges[GaussNewton]",

@@ -180,3 +180,42 @@ def test_fused_reprojection_in_ba_step():
     np.testing.assert_allclose(
         deltas["fused"], deltas["vmap"], atol=2e-3 * max(scale, 1.0)
     )
+
+
+def test_pallas_level_factorize_matches_jax():
+    """Fused per-level POTRF/TRSM kernel == pure-JAX level sweep (interpret)."""
+    from test_sparse import blocks_from_dense, random_block_system
+
+    from theseus_tpu.sparse.cholesky import (
+        NumericSchedule, _factorize_levels, _factorize_levels_pallas)
+    from theseus_tpu.sparse.structure import symbolic_factor
+
+    for n, d, bsz, ordering in [(12, 6, 4, "nd")]:
+        pairs, H, b = random_block_system(n, d, bsz, seed=n)
+        sym = symbolic_factor(n, pairs, d, ordering=ordering)
+
+        pair_slot = {}
+        slot = 1
+        for i in range(n):
+            pair_slot[(i, i)] = slot
+            slot += 1
+        for (i, j) in sorted(pairs):
+            pair_slot[(i, j)] = slot
+            slot += 1
+
+        class Shim:
+            pass
+
+        pattern = Shim()
+        pattern.pair_slot = pair_slot
+        pattern.n_vars = n
+        pattern.d = d
+        sched = NumericSchedule(sym, pattern)
+        if not sched.use_levels:
+            continue
+
+        ata = blocks_from_dense(pair_slot, slot, H, n, d).astype(jnp.float32)
+        ref = _factorize_levels(sched, ata)
+        got = _factorize_levels_pallas(sched, ata, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)

@@ -26,9 +26,16 @@ _jax.config.update("jax_default_matmul_precision", "highest")
 import os as _os
 
 if not _os.environ.get("THESEUS_TPU_NO_CACHE"):
+    # namespaced per platform selection: AOT cache entries are
+    # machine-specific, and this process's artifacts must not be offered to
+    # a process running against a different backend (observed: remote-host
+    # CPU AOT entries SIGILL-warning on the local CPU)
+    _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
     _cache = _os.environ.get(
         "THESEUS_TPU_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "theseus_tpu_jax"),
+        _os.path.join(
+            _os.path.expanduser("~"), ".cache", f"theseus_tpu_jax_{_plat}"
+        ),
     )
     try:
         if not _jax.config.jax_compilation_cache_dir:  # respect prior config

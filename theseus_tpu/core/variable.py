@@ -31,7 +31,14 @@ class Variable:
 
     def __init__(self, tensor=None, name: Optional[str] = None):
         self.name = name or _auto_name(type(self).__name__)
-        self.tensor = None if tensor is None else jnp.asarray(tensor)
+        # numpy/jax arrays are stored AS GIVEN: a Variable is a spec, and
+        # converting host data here would pay one device_put per variable —
+        # on a remote TPU backend that made building a 6k-cost objective take
+        # minutes. Device conversion happens at pack/build_aux time.
+        if tensor is None or isinstance(tensor, (np.ndarray, jnp.ndarray)):
+            self.tensor = tensor
+        else:
+            self.tensor = jnp.asarray(tensor)
 
     @property
     def shape(self):
@@ -106,7 +113,11 @@ def Point3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
 
 
 def as_variable(value, name: Optional[str] = None) -> Variable:
-    """Wrap raw data as an aux Variable (reference core/variable.py:107)."""
+    """Wrap raw data as an aux Variable (reference core/variable.py:107).
+    Host arrays stay host-side (see Variable.__init__); scalars/lists become
+    numpy so objective construction never dispatches device ops."""
     if isinstance(value, Variable):
         return value
-    return Variable(tensor=jnp.asarray(value), name=name)
+    if not isinstance(value, (np.ndarray, jnp.ndarray)):
+        value = np.asarray(value)
+    return Variable(tensor=value, name=name)

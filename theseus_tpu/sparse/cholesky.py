@@ -158,8 +158,57 @@ class NumericSchedule:
 def factorize(sched: NumericSchedule, ata_flat):
     """ata_flat (n_slots, B, d, d) -> Lflat (nnz_l+1, B, d, d)."""
     if sched.use_levels:
+        if _pallas_level_ok(sched, ata_flat):
+            return _factorize_levels_pallas(sched, ata_flat)
         return _factorize_levels(sched, ata_flat)
     return _factorize_scan(sched, ata_flat)
+
+
+def _pallas_level_ok(sched: NumericSchedule, ata_flat) -> bool:
+    from .. import config as _config
+
+    d = ata_flat.shape[-1]
+    if not _config.pallas_enabled(ata_flat.dtype) or d > SMALL_DIM_MAX:
+        return False
+    from .pallas_factorize import level_fits
+
+    bsz = ata_flat.shape[1]
+    return all(
+        level_fits(d, t["a_src"].shape[1], t["jk_slots"].shape[1], bsz)
+        for t in sched.level_tables
+    )
+
+
+def _factorize_levels_pallas(sched: NumericSchedule, ata_flat,
+                             interpret: bool = False):
+    """Level sweeps with the arithmetic of each level fused into one Mosaic
+    kernel (pallas_factorize.level_eliminate_soa); factor kept in SoA layout
+    (nnz_l+1, d*d, B) across levels, converted at the boundaries."""
+    from . import pallas_factorize as pf
+
+    sym = sched.sym
+    bsz = ata_flat.shape[1]
+    d = ata_flat.shape[-1]
+    dd = d * d
+    dtype = ata_flat.dtype
+    # block transpose in SoA = static row permutation of the d*d axis
+    perm_t = np.asarray([j * d + i for i in range(d) for j in range(d)])
+
+    ata_soa = pf.aos_to_soa(ata_flat)  # (n_slots, dd, B)
+    lflat = jnp.zeros((sym.nnz_l + 1, dd, bsz), dtype=dtype)
+
+    for t in sched.level_tables:
+        col_a = ata_soa[t["a_src"]]  # (C, rl, dd, B)
+        col_a = jnp.where(
+            t["a_tr"][:, :, None, None], col_a[:, :, perm_t, :], col_a
+        )
+        ks = lflat[t["upd_slots"]]  # (C, ul, rl, dd, B)
+        kj = lflat[t["jk_slots"]]  # (C, ul, dd, B)
+        newcol = pf.level_eliminate_soa(col_a, ks, kj, d, interpret=interpret)
+        newcol = jnp.where(t["valid"][:, :, None, None], newcol, 0.0)
+        lflat = lflat.at[t["col_slots"]].set(newcol)
+
+    return pf.soa_to_aos(lflat, d)
 
 
 def _factorize_levels(sched: NumericSchedule, ata_flat):

@@ -1,0 +1,151 @@
+"""Pallas per-level kernels for the block-sparse Cholesky.
+
+The level-sweep factorization (`cholesky._factorize_levels`) lowers each
+etree level to ~80 XLA ops (gathers, a batched small einsum, an unrolled
+d<=8 POTRF, a TRSM, scatters); with ~16 levels the per-op overhead rivals
+the arithmetic. This module fuses the arithmetic of one level — update
+accumulation, POTRF, TRSM — into ONE Mosaic kernel in struct-of-arrays
+layout: every block entry is a (B,)-lane vector, the batch rides the 128
+lanes, and the d*d block structure is unrolled scalar code on the VPU
+(the same layout recipe as ops/pallas_between_soa.py). Gathers/scatters of
+the level's operands stay in XLA, which streams them at HBM bandwidth.
+
+Used by `cholesky.factorize` when `config.pallas_enabled(dtype)` and the
+level shapes fit VMEM; always verified against the pure-JAX path in tests.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _level_kernel(d: int, rl: int, ul: int):
+    """Kernel for one level: col_a (1, rl, d*d, B), ks (1, ul, rl, d*d, B),
+    kj (1, ul, d*d, B) -> newcol (1, rl, d*d, B).
+
+    newcol[0]  = chol(sym(col_a[0] - upd[0]))
+    newcol[r>] = (col_a[r] - upd[r]) @ L^{-T}
+    upd[r,i,j] = sum_u sum_k ks[u,r,i,k] * kj[u,j,k]
+    """
+
+    def kernel(a_ref, ks_ref, kj_ref, out_ref):
+        # c[r][i][j]: (B,) lanes for r=0 (diag), (rl-1, B) for the rest
+        # -- update accumulation ---------------------------------------
+        c = [[[None] * d for _ in range(d)] for _ in range(rl)]
+        for i in range(d):
+            for j in range(d):
+                row_a = i * d + j
+                acc = None
+                for k in range(d):
+                    ks_s = ks_ref[0, :, :, i * d + k, :]  # (ul, rl, B)
+                    kj_s = kj_ref[0, :, j * d + k, :]  # (ul, B)
+                    term = jnp.sum(ks_s * kj_s[:, None, :], axis=0)  # (rl, B)
+                    acc = term if acc is None else acc + term
+                full = a_ref[0, :, row_a, :] - acc  # (rl, B)
+                c[0][i][j] = full[0]
+                if rl > 1:
+                    for r in range(1, rl):
+                        c[r][i][j] = full[r]
+
+        # -- POTRF on the symmetrized diagonal block -------------------
+        l = [[None] * d for _ in range(d)]
+        inv = [None] * d
+        for j in range(d):
+            s = 0.5 * (c[0][j][j] + c[0][j][j])
+            for k in range(j):
+                s = s - l[j][k] * l[j][k]
+            ljj = jnp.sqrt(s)
+            l[j][j] = ljj
+            inv[j] = 1.0 / ljj
+            for i in range(j + 1, d):
+                s = 0.5 * (c[0][i][j] + c[0][j][i])
+                for k in range(j):
+                    s = s - l[i][k] * l[j][k]
+                l[i][j] = s * inv[j]
+        for i in range(d):
+            for j in range(d):
+                out_ref[0, 0, i * d + j, :] = (
+                    l[i][j] if j <= i else jnp.zeros_like(l[0][0])
+                )
+
+        # -- TRSM: rest rows X = C_r L^{-T} ----------------------------
+        if rl > 1:
+            x = [[None] * d for _ in range(d)]  # each (rl-1, B)
+            for i in range(d):
+                for j in range(d):
+                    s = jnp.stack([c[r][i][j] for r in range(1, rl)], axis=0)
+                    for k in range(j):
+                        s = s - x[i][k] * l[j][k][None, :]
+                    x[i][j] = s * inv[j][None, :]
+            for i in range(d):
+                for j in range(d):
+                    out_ref[0, 1:, i * d + j, :] = x[i][j]
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _build_call(d: int, rl: int, ul: int, bsz: int, dtype_name: str,
+                interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    dd = d * d
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda c: (c,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def call(col_a, ks, kj):
+        C = col_a.shape[0]
+        return pl.pallas_call(
+            _level_kernel(d, rl, ul),
+            grid=(C,),
+            in_specs=[
+                spec((rl, dd, bsz)),
+                spec((ul, rl, dd, bsz)),
+                spec((ul, dd, bsz)),
+            ],
+            out_specs=spec((rl, dd, bsz)),
+            out_shape=jax.ShapeDtypeStruct((C, rl, dd, bsz), dtype),
+            interpret=interpret,
+        )(col_a, ks, kj)
+
+    return call
+
+
+def level_eliminate_soa(col_a, ks, kj, d: int, interpret: bool = False):
+    """SoA level elimination. col_a (C, rl, d*d, B), ks (C, ul, rl, d*d, B),
+    kj (C, ul, d*d, B) -> newcol (C, rl, d*d, B)."""
+    C, rl, dd, bsz = col_a.shape
+    ul = ks.shape[1]
+    call = _build_call(d, rl, ul, bsz, jnp.dtype(col_a.dtype).name, interpret)
+    return call(col_a, ks, kj)
+
+
+# VMEM budget gate: per-program blocks must fit comfortably on chip.
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def level_fits(d: int, rl: int, ul: int, bsz: int, itemsize: int = 4) -> bool:
+    blocks = (rl + ul * rl + ul + rl) * d * d * bsz * itemsize
+    return blocks <= _VMEM_BUDGET_BYTES
+
+
+def aos_to_soa(x):
+    """(S, B, d, d) -> (S, d*d, B)."""
+    s, b = x.shape[0], x.shape[1]
+    return jnp.moveaxis(x.reshape(s, b, -1), 1, -1)
+
+
+def soa_to_aos(x, d: int):
+    """(S, d*d, B) -> (S, B, d, d)."""
+    s, b = x.shape[0], x.shape[-1]
+    return jnp.moveaxis(x, -1, 1).reshape(s, b, d, d)

@@ -230,15 +230,20 @@ def build_ba_objective(
                 name="gauge",
             )
         )
+    # materialize once: per-observation device slicing would pay an eager
+    # dispatch round-trip each (4 ops x O(10^4) observations on remote TPU)
+    focals_np = np.asarray(prob.focals)
+    obs_img_np = np.asarray(prob.obs_img)
+    k1_np, k2_np = np.asarray(prob.k1), np.asarray(prob.k2)
     for oi in range(len(prob.obs_cam)):
         ci, pi = int(prob.obs_cam[oi]), int(prob.obs_pt[oi])
         cost = Reprojection(
             cams[ci],
             pts[pi],
-            focal_length=prob.focals[ci],
-            image_feature_point=prob.obs_img[oi],
-            calib_k1=prob.k1[ci],
-            calib_k2=prob.k2[ci],
+            focal_length=focals_np[ci],
+            image_feature_point=obs_img_np[oi],
+            calib_k1=k1_np[ci],
+            calib_k2=k2_np[ci],
             cost_weight=weight,
             name=f"obs_{oi}",
         )
@@ -254,6 +259,8 @@ def build_ba_objective(
 
 
 def ba_values(prob: BAProblem) -> Dict[str, jnp.ndarray]:
-    vals = {f"cam_{i}": prob.poses[i] for i in range(prob.num_cameras)}
-    vals.update({f"pt_{i}": prob.points[i] for i in range(prob.num_points)})
+    poses = np.asarray(prob.poses)  # one transfer, host-side slicing
+    points = np.asarray(prob.points)
+    vals = {f"cam_{i}": poses[i] for i in range(prob.num_cameras)}
+    vals.update({f"pt_{i}": points[i] for i in range(prob.num_points)})
     return vals

@@ -103,8 +103,10 @@ def build_pgo_objective(
         radius_var = core.Variable(
             jnp.full((1, 1), log_loss_radius, dtype), name="log_loss_radius"
         )
+    meas_np = np.asarray(measurements)  # host-side slicing: per-edge device
+    # slices would pay an eager dispatch round-trip each on remote TPU
     for ei, (i, j) in enumerate(edges):
-        cost = Between(poses[i], poses[j], measurements[ei], cost_weight=w, name=f"edge_{ei}")
+        cost = Between(poses[i], poses[j], meas_np[ei], cost_weight=w, name=f"edge_{ei}")
         if robust_loss_cls is not None:
             cost = core.RobustCostFunction(
                 cost, robust_loss_cls, radius_var, name=f"redge_{ei}"
@@ -115,6 +117,7 @@ def build_pgo_objective(
 
 def pose_values(init) -> Dict[str, jnp.ndarray]:
     """(N, B, 3, 4) stacked initialization -> {pose_i: (B, 3, 4)}."""
+    init = np.asarray(init)  # one transfer, host-side slicing
     return {f"pose_{i}": init[i] for i in range(init.shape[0])}
 
 
