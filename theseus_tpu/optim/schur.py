@@ -34,6 +34,26 @@ def _chol_solve_vec(l, b):
     return solve_upper_vec(jnp.swapaxes(l, -1, -2), solve_lower_vec(l, b))
 
 
+# one-hot matmuls put segment reductions on the MXU, but the one-hot constant
+# is (n_out, k): beyond this budget fall back to scatter-add (at 128x4000 BA
+# the S-assembly one-hot would otherwise be a multi-GB trace-time constant)
+_ONEHOT_MAX_ELEMS = 1 << 22
+
+
+def _seg_sum(values, idx, n_out, dtype):
+    """sum values (k, ...) into (n_out, ...) rows by static idx (k,)."""
+    k = values.shape[0]
+    if n_out * k <= _ONEHOT_MAX_ELEMS:
+        onehot = np.zeros((n_out, k), np.float32)
+        onehot[idx, np.arange(k)] = 1.0
+        flat = values.reshape(k, -1)
+        return jnp.einsum(
+            "st,tf->sf", jnp.asarray(onehot, dtype), flat
+        ).reshape((n_out,) + values.shape[1:])
+    out = jnp.zeros((n_out,) + values.shape[1:], dtype=dtype)
+    return out.at[idx].add(values)
+
+
 def _chol_solve_mat(l, m):
     """Solve (L L^T) X = M for M (..., d, k) via column solves."""
     y = jax.vmap(lambda col: _chol_solve_vec(l, col), in_axes=-1, out_axes=-1)(m)
@@ -103,21 +123,27 @@ class SchurNormal:
             jnp.swapaxes(cc_b[:, off], -1, -2)
         )
 
-        # S -= sum over points of W_k H_l^T for camera pairs (k, l) of point p
-        wg = jnp.where(
-            bld.ppad_valid[:, :, None, None, None], w[bld.ppad_obs], 0.0
-        )  # (P, K, B, d, d)
-        hg = jnp.where(
-            bld.ppad_valid[:, :, None, None, None], hcp[bld.ppad_obs], 0.0
-        )
-        pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)  # (P,K,K,B,d,d)
-        flat = pair_s.reshape(-1, bsz, d, d)
-        tgt = bld.ppad_campair  # (P*K*K,) -> ci*C+cj or C*C (dump row)
-        onehot = np.zeros((C * C + 1, tgt.shape[0]), np.float32)
-        onehot[tgt, np.arange(tgt.shape[0])] = 1.0
-        s_upd = jnp.einsum(
-            "st,tf->sf", jnp.asarray(onehot[:-1], dtype), flat.reshape(flat.shape[0], -1)
-        ).reshape(C, C, bsz, d, d)
+        # S -= sum over points of W_k H_l^T for camera pairs (k, l) of point
+        # p, processed in point chunks so the (Pc, K, K, B, d, d) pair tensor
+        # stays bounded (unchunked it is multi-GB at 128x4000-scale BA)
+        K = bld.ppad_obs.shape[1]
+        per_pt = max(1, K * K * bsz * d * d * 4)
+        chunk = max(1, min(P, (256 << 20) // per_pt))
+        s_acc = jnp.zeros((C * C + 1, bsz, d, d), dtype=dtype)
+        campair = bld.ppad_campair.reshape(P, K * K)
+        for p0 in range(0, P, chunk):
+            sl = slice(p0, min(P, p0 + chunk))
+            vmask = bld.ppad_valid[sl][:, :, None, None, None]
+            wg = jnp.where(vmask, w[bld.ppad_obs[sl]], 0.0)  # (Pc,K,B,d,d)
+            hg = jnp.where(vmask, hcp[bld.ppad_obs[sl]], 0.0)
+            pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
+            s_acc = s_acc + _seg_sum(
+                pair_s.reshape(-1, bsz, d, d),
+                campair[sl].reshape(-1),
+                C * C + 1,
+                dtype,
+            )
+        s_upd = s_acc[:-1].reshape(C, C, bsz, d, d)
         hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
 
         s_mat = (
@@ -127,9 +153,7 @@ class SchurNormal:
         # reduced rhs: bc - sum W_o bp_{p(o)} scattered at cam(o)
         bc = rhs[bld.cam_vars_np]  # (C, B, d)
         wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, d)
-        oc = np.zeros((C, len(bld.cp_pt)), np.float32)
-        oc[bld.cp_cam, np.arange(len(bld.cp_cam))] = 1.0
-        red = jnp.einsum("co,obi->cbi", jnp.asarray(oc, dtype), wb)
+        red = _seg_sum(wb, bld.cp_cam, C, dtype)
         rc = (bc - red)  # (C, B, d)
         rc_flat = jnp.moveaxis(rc, 0, 1).reshape(bsz, C * d)
 
@@ -139,9 +163,7 @@ class SchurNormal:
 
         # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
         hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])  # H^T xc per obs
-        op = np.zeros((P, len(bld.cp_pt)), np.float32)
-        op[bld.cp_pt, np.arange(len(bld.cp_pt))] = 1.0
-        acc = jnp.einsum("po,obi->pbi", jnp.asarray(op, dtype), hx)
+        acc = _seg_sum(hx, bld.cp_pt, P, dtype)
         xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, d)
 
         x_blocks = jnp.zeros((bld.pattern.n_vars, bsz, d), dtype=dtype)
