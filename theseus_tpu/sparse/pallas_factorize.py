@@ -33,23 +33,33 @@ def _level_kernel(d: int, rl: int, ul: int):
     """
 
     def kernel(a_ref, ks_ref, kj_ref, out_ref):
-        # c[r][i][j]: (B,) lanes for r=0 (diag), (rl-1, B) for the rest
         # -- update accumulation ---------------------------------------
+        # upd[(i,j)] (rl, B) = sum_u sum_k ks[u,:,ik,:] * kj[u,jk,:].
+        # Mosaic cannot lower leading-dim multi_reductions (3D -> 2D), so the
+        # u-sum is a fori_loop whose body touches only 2D (rl, B) tiles.
+        def u_body(u, accs):
+            out = []
+            for i in range(d):
+                for j in range(d):
+                    acc = accs[i * d + j]
+                    for k in range(d):
+                        ks_s = ks_ref[0, u, :, i * d + k, :]  # (rl, B)
+                        kj_s = kj_ref[0, u, j * d + k, :]  # (B,)
+                        acc = acc + ks_s * kj_s[None, :]
+                    out.append(acc)
+            return tuple(out)
+
+        bsz = a_ref.shape[-1]
+        zero = jnp.zeros((rl, bsz), dtype=a_ref.dtype)
+        upd = jax.lax.fori_loop(0, ul, u_body, (zero,) * (d * d))
+
+        # c[r][i][j]: (B,) lanes for r=0 (diag), (rl-1, B) for the rest
         c = [[[None] * d for _ in range(d)] for _ in range(rl)]
         for i in range(d):
             for j in range(d):
-                row_a = i * d + j
-                acc = None
-                for k in range(d):
-                    ks_s = ks_ref[0, :, :, i * d + k, :]  # (ul, rl, B)
-                    kj_s = kj_ref[0, :, j * d + k, :]  # (ul, B)
-                    term = jnp.sum(ks_s * kj_s[:, None, :], axis=0)  # (rl, B)
-                    acc = term if acc is None else acc + term
-                full = a_ref[0, :, row_a, :] - acc  # (rl, B)
-                c[0][i][j] = full[0]
-                if rl > 1:
-                    for r in range(1, rl):
-                        c[r][i][j] = full[r]
+                full = a_ref[0, :, i * d + j, :] - upd[i * d + j]  # (rl, B)
+                for r in range(rl):
+                    c[r][i][j] = full[r]
 
         # -- POTRF on the symmetrized diagonal block -------------------
         l = [[None] * d for _ in range(d)]
