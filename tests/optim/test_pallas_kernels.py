@@ -219,3 +219,27 @@ def test_pallas_level_factorize_matches_jax():
         got = _factorize_levels_pallas(sched, ata, interpret=True)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_assemble_matches_jax():
+    """Fused AtA/Atb assembly kernel == XLA assembly path (interpret)."""
+    from theseus_tpu.sparse.assemble import assemble, build_block_pattern
+    from theseus_tpu.sparse.pallas_assemble import assemble_pallas
+    from theseus_tpu.utils.examples.pose_graph import (
+        build_pgo_objective, pose_values, synthetic_pose_graph)
+
+    gt, edges, meas, init = synthetic_pose_graph(
+        n_poses=10, batch=2, seed=0, dtype=jnp.float32)
+    obj, _ = build_pgo_objective(10, edges, meas, gt[0], dtype=jnp.float32)
+    co = obj.compile()
+    values = obj.default_values(pose_values(init))
+    state = co.pack(values, 2)
+    aux = co.build_aux(values, 2)
+    blocks = co.linearize_blocks(state, aux)
+    pattern = build_block_pattern(co)
+    ata_ref, atb_ref = assemble(pattern, co, blocks)
+    ata_p, atb_p = assemble_pallas(pattern, co, blocks, interpret=True)
+    np.testing.assert_allclose(np.asarray(ata_p), np.asarray(ata_ref),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(atb_p), np.asarray(atb_ref),
+                               rtol=1e-4, atol=1e-4)

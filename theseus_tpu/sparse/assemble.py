@@ -126,6 +126,14 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
     bsz = some_err.shape[1]
     dtype = some_err.dtype
 
+    from .. import config as _config
+
+    if _config.pallas_enabled(dtype):
+        from .pallas_assemble import assemble_fits, assemble_pallas
+
+        if assemble_fits(pattern, blocks, bsz):
+            return assemble_pallas(pattern, co, blocks)
+
     ata = jnp.zeros((pattern.n_slots, bsz, d, d), dtype=dtype)
     atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=dtype)
 
