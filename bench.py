@@ -52,20 +52,25 @@ def build(n_poses=N_POSES, batch=BATCH, dtype=jnp.float32, seed=0,
 
 def _time_iters(layer, state, aux, n_iters, reps=4):
     """Wall time of an n_iters fixed LM solve, synced by host transfer (the
-    axon tunnel's block_until_ready does not synchronize; np.asarray does)."""
+    axon tunnel's block_until_ready does not synchronize; np.asarray does).
+    Every timed call gets a different eps-perturbed input: the remote
+    executor caches results of bit-identical calls, which would fake the
+    timing."""
     opts = layer.optimizer.opts
 
     @jax.jit
-    def fwd(state, aux):
+    def fwd(state, aux, eps):
+        state = {k: v * (1.0 + eps) for k, v in state.items()}
         carry = layer.optimizer.init_carry(state, aux, opts)
         carry = layer.optimizer.run_scan(carry, aux, n_iters, opts)
         return carry["err"]
 
-    np.asarray(fwd(state, aux))  # compile + warmup
+    np.asarray(fwd(state, aux, jnp.float32(0)))  # compile + warmup
     ts = []
-    for _ in range(reps):
+    for i in range(reps):
+        eps = jnp.float32(1e-7 * (i + 1))
         t0 = time.perf_counter()
-        np.asarray(fwd(state, aux))
+        np.asarray(fwd(state, aux, eps))
         ts.append(time.perf_counter() - t0)
     return min(ts)
 

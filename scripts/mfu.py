@@ -33,15 +33,19 @@ def main(n_poses, batch, linearization, base=2, extra=8):
         n_poses=n_poses, batch=batch, linearization=linearization)
     opts = layer.optimizer.opts
 
+    import jax.numpy as jnp
+
     def make(n):
-        def fwd(state, aux):
+        def fwd(state, aux, eps):
+            state = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = layer.optimizer.init_carry(state, aux, opts)
             carry = layer.optimizer.run_scan(carry, aux, n, opts)
             return carry["err"]
         return fwd
 
-    lowered_a = jax.jit(make(base)).lower(state, aux)
-    lowered_b = jax.jit(make(base + extra)).lower(state, aux)
+    z = jnp.float32(0.0)
+    lowered_a = jax.jit(make(base)).lower(state, aux, z)
+    lowered_b = jax.jit(make(base + extra)).lower(state, aux, z)
     comp_a, comp_b = lowered_a.compile(), lowered_b.compile()
 
     def flops(comp):
@@ -53,11 +57,13 @@ def main(n_poses, batch, linearization, base=2, extra=8):
     df = (flops(comp_b) - flops(comp_a)) / extra  # flops per marginal LM iter
 
     def t(comp):
-        np.asarray(comp(state, aux))  # warm
+        # eps-perturbed per rep: the remote executor caches identical calls
+        np.asarray(comp(state, aux, z))  # warm
         ts = []
-        for _ in range(5):
+        for i in range(5):
+            eps = jnp.float32(1e-7 * (i + 1))
             t0 = time.perf_counter()
-            np.asarray(comp(state, aux))
+            np.asarray(comp(state, aux, eps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
