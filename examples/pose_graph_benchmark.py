@@ -10,7 +10,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
+if "--f32" not in sys.argv:
+    jax.config.update("jax_enable_x64", True)
 
 import argparse
 import time
@@ -61,8 +62,11 @@ def main(g2o_path=None, n_poses=256, iters=10, dtype=jnp.float64):
     err, hist = solve(state, aux)
     np.asarray(err)
     compile_and_run = time.perf_counter() - t0
+    # re-time with a perturbed input (remote executors may cache identical
+    # calls); perturbation is in the retract tangent, so chi2 is unaffected
+    state2 = {k: v * (1.0 + jnp.asarray(1e-7, v.dtype)) for k, v in state.items()}
     t0 = time.perf_counter()
-    err, hist = solve(state, aux)
+    err, hist = solve(state2, aux)
     np.asarray(err)
     run = time.perf_counter() - t0
     print(f"n_poses={n} edges={len(obj.cost_functions)-1} iters={iters}")
@@ -76,5 +80,8 @@ if __name__ == "__main__":
     p.add_argument("--g2o", default=None)
     p.add_argument("--n-poses", type=int, default=256)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--f32", action="store_true",
+                   help="float32 (the TPU-native dtype; default is f64)")
     a = p.parse_args()
-    main(a.g2o, a.n_poses, a.iters)
+    main(a.g2o, a.n_poses, a.iters,
+         dtype=jnp.float32 if a.f32 else jnp.float64)

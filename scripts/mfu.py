@@ -28,6 +28,46 @@ PEAK_F32 = 49.2e12  # v5e MXU fp32-equivalent
 PEAK_BF16 = 197e12
 
 
+def _analytic_flops_per_iter(layer):
+    """Dominant per-iteration FLOPs: linearize (Between jac/err), AtA
+    assembly products, level-sweep update GEMMs + POTRF/TRSM, the two
+    substitution passes, and retract/error. Conservative (undercounts
+    elementwise glue), so MFU is a mild overestimate of utilization."""
+    opt = layer.optimizer
+    co = opt.objective.compile()
+    from theseus_tpu.optim.normal import SparseNormalBuilder
+
+    bld = SparseNormalBuilder(co)
+    sched = bld.sched
+    d = bld.pattern.d
+    bsz = None
+    total = 0.0
+    # batch size from a default pack
+    vals = opt.objective.default_values({})
+    bsz = co.resolve_batch_size(vals)
+
+    # assembly: per bucket pair k * B * m * d * d MACs (x2 flops)
+    for bi, sch in enumerate(bld.pattern.bucket_pair_sched):
+        for (s, t, tgt, _, _) in sch:
+            k = len(tgt)
+            total += 2.0 * k * bsz * d * d * d  # m ~ d
+        for g in bld.pattern.bucket_gvars[bi]:
+            total += 2.0 * len(g) * bsz * d * d  # Atb
+    # factorization level sweeps: update GEMMs sum_u d^3 per (col,row)
+    for t in sched.level_tables:
+        C, ul = t["upd_slots"].shape[0], t["upd_slots"].shape[1]
+        rl = t["a_src"].shape[1]
+        total += 2.0 * C * ul * rl * bsz * d**3
+        total += C * bsz * (d**3 / 3.0)  # POTRF
+        total += C * (rl - 1) * bsz * d**3  # TRSM
+    # substitutions (fwd+bwd): one d^2 MAC per stored block per pass
+    total += 2.0 * 2.0 * sched.sym.nnz_l * bsz * d * d
+    # linearize + retract + error: ~ Between jac ~ 40 d^3-ish per edge
+    n_edges = sum(len(s[0][2]) for s in bld.pattern.bucket_pair_sched if s)
+    total += 2.0 * n_edges * bsz * 40 * d * d
+    return total
+
+
 def main(n_poses, batch, linearization, base=2, extra=8):
     layer, state, aux = bench.build(
         n_poses=n_poses, batch=batch, linearization=linearization)
@@ -55,6 +95,11 @@ def main(n_poses, batch, linearization, base=2, extra=8):
         return float(ca.get("flops", float("nan")))
 
     df = (flops(comp_b) - flops(comp_a)) / extra  # flops per marginal LM iter
+    if not (df > 0):
+        # the remote-plugin cost analysis can come back empty; fall back to a
+        # hand model of the dominant solver terms per iteration
+        df = _analytic_flops_per_iter(layer)
+        print("(cost_analysis empty; using analytic FLOP model)")
 
     def t(comp):
         # eps-perturbed per rep: the remote executor caches identical calls

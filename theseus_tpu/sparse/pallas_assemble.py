@@ -141,9 +141,12 @@ _EDGE_CHUNK = 8
 def assemble_fits(pattern, blocks, bsz) -> bool:
     d = pattern.d
     SL, SV = _round8(d * d), _round8(d)
-    acc = (pattern.n_slots * SL + pattern.n_vars * SV) * bsz * 4
+    # VMEM tiles pad the lane (last) dim to 128: a batch-1 column still
+    # occupies full 128-lane tiles
+    lanes = ((bsz + 127) // 128) * 128
+    acc = (pattern.n_slots * SL + pattern.n_vars * SV) * lanes * 4
     per_bucket = max(
-        (len(jacs) + 1) * _EDGE_CHUNK * max(1, d) * d * bsz * 4
+        (len(jacs) + 1) * _EDGE_CHUNK * _round8(max(1, d) * d) * lanes * 4
         for jacs, _ in blocks
     )
     return acc + per_bucket <= _VMEM_BUDGET

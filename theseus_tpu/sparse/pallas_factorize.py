@@ -145,7 +145,9 @@ _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 
 def level_fits(d: int, rl: int, ul: int, bsz: int, itemsize: int = 4) -> bool:
-    blocks = (rl + ul * rl + ul + rl) * d * d * bsz * itemsize
+    # lane padding: a batch-1 column still occupies full 128-lane tiles
+    lanes = ((bsz + 127) // 128) * 128
+    blocks = (rl + ul * rl + ul + rl) * d * d * lanes * itemsize
     return blocks <= _VMEM_BUDGET_BYTES
 
 
