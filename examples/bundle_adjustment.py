@@ -58,5 +58,6 @@ if __name__ == "__main__":
     p.add_argument("--points", type=int, default=40)
     p.add_argument("--no-robust", action="store_true")
     p.add_argument("--linearization", default="sparse", choices=["dense", "sparse"])
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     main(a.bal, a.cameras, a.points, not a.no_robust, a.linearization)

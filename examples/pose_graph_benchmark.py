@@ -8,9 +8,21 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import argparse
+
+import _config as _cfgmod
+
+_parser = argparse.ArgumentParser()
+_parser.add_argument("--g2o", default=None)
+_parser.add_argument("--n-poses", type=int, default=256)
+_parser.add_argument("--iters", type=int, default=10)
+_parser.add_argument("--f32", action="store_true",
+                     help="float32 (the TPU-native dtype; default is f64)")
+_ARGS = _cfgmod.parse_with_config(_parser)
+
 import jax
 
-if "--f32" not in sys.argv:
+if not _ARGS.f32:
     jax.config.update("jax_enable_x64", True)
 
 import argparse
@@ -76,12 +88,6 @@ def main(g2o_path=None, n_poses=256, iters=10, dtype=jnp.float64):
 
 
 if __name__ == "__main__":
-    p = argparse.ArgumentParser()
-    p.add_argument("--g2o", default=None)
-    p.add_argument("--n-poses", type=int, default=256)
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--f32", action="store_true",
-                   help="float32 (the TPU-native dtype; default is f64)")
-    a = p.parse_args()
+    a = _ARGS
     main(a.g2o, a.n_poses, a.iters,
          dtype=jnp.float32 if a.f32 else jnp.float64)

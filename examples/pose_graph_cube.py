@@ -153,5 +153,6 @@ if __name__ == "__main__":
     p.add_argument("--outlier-frac", type=float, default=0.3)
     p.add_argument("--n-per-edge", type=int, default=3)
     p.add_argument("--seed", type=int, default=0)
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     main(a.outlier_frac, a.n_per_edge, a.seed)

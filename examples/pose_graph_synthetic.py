@@ -82,5 +82,6 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--linearization", default="dense", choices=["dense", "sparse"])
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     main(a.n_poses, a.batch, a.epochs, a.linearization)

@@ -77,7 +77,8 @@ def main():
     p.add_argument("--iters", type=int, default=1000)
     p.add_argument("--euclidean", action="store_true",
                    help="ablation: plain Euclidean Adam (drifts off-manifold)")
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     run(num_iters=a.iters, use_lie_tangent=not a.euclidean)
 
 

@@ -79,5 +79,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--mode", default="implicit", choices=["unroll", "implicit", "truncated", "dlm"])
     p.add_argument("--epochs", type=int, default=20)
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     main(a.mode, a.epochs)

@@ -57,7 +57,8 @@ def main():
     p.add_argument("--time-steps", type=int, default=5)
     p.add_argument("--inner-iters", type=int, default=5)
     p.add_argument("--outer-steps", type=int, default=3)
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
 
     est = TactilePoseEstimator(
         time_steps=a.time_steps, max_iterations=a.inner_iters
