@@ -87,6 +87,7 @@ _SLOW_NODEIDS = {
     "tests/optim/test_utils_extra.py::test_easyaug_classes",
     "tests/optim/test_pallas_kernels.py::test_pallas_level_factorize_matches_jax",
     "tests/optim/test_pallas_kernels.py::test_pallas_assemble_matches_jax",
+    "tests/optim/test_pallas_kernels.py::test_pallas_substitution_matches_jax",
     "tests/lie/test_ops.py::test_vmap_composes",
     "tests/core/test_layer_dense.py::test_backward_modes_match_fd[truncated]",
     "tests/core/test_layer_dense.py::test_curve_fit_converges[GaussNewton]",

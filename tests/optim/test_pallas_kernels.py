@@ -243,3 +243,43 @@ def test_pallas_assemble_matches_jax():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(atb_p), np.asarray(atb_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_substitution_matches_jax():
+    """Fused per-level fwd/bwd substitution kernels == XLA level sweeps."""
+    from test_sparse import blocks_from_dense, random_block_system
+
+    from theseus_tpu.sparse.cholesky import (
+        NumericSchedule, _solve_levels, _solve_levels_pallas, factorize)
+    from theseus_tpu.sparse.structure import symbolic_factor
+
+    n, d, bsz = 12, 6, 4
+    pairs, H, b = random_block_system(n, d, bsz, seed=n)
+    sym = symbolic_factor(n, pairs, d, ordering="nd")
+    pair_slot = {}
+    slot = 1
+    for i in range(n):
+        pair_slot[(i, i)] = slot
+        slot += 1
+    for (i, j) in sorted(pairs):
+        pair_slot[(i, j)] = slot
+        slot += 1
+
+    class Shim:
+        pass
+
+    pattern = Shim()
+    pattern.pair_slot = pair_slot
+    pattern.n_vars = n
+    pattern.d = d
+    sched = NumericSchedule(sym, pattern)
+    assert sched.use_levels
+
+    ata = blocks_from_dense(pair_slot, slot, H, n, d).astype(jnp.float32)
+    bb = jnp.asarray(
+        np.asarray(b).reshape(bsz, n, d).transpose(1, 0, 2)
+    ).astype(jnp.float32)
+    lflat = factorize(sched, ata)
+    x_ref = np.asarray(_solve_levels(sched, lflat, bb))
+    x_pal = np.asarray(_solve_levels_pallas(sched, lflat, bb, interpret=True))
+    np.testing.assert_allclose(x_pal, x_ref, rtol=2e-5, atol=2e-5)

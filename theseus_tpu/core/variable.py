@@ -112,12 +112,22 @@ def Point3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
     return ManifoldVariable(euclidean(3), tensor, name)
 
 
+_SCALAR_MEMO: dict = {}
+
+
 def as_variable(value, name: Optional[str] = None) -> Variable:
     """Wrap raw data as an aux Variable (reference core/variable.py:107).
-    Host arrays stay host-side (see Variable.__init__); scalars/lists become
-    numpy so objective construction never dispatches device ops."""
+    Host arrays stay host-side (see Variable.__init__). Python scalars
+    become WEAK-typed jnp scalars (a strongly-typed numpy f64 would promote
+    f32 problems under x64), memoized so building a 10^5-cost objective
+    dispatches each distinct constant once, not once per cost."""
     if isinstance(value, Variable):
         return value
-    if not isinstance(value, (np.ndarray, jnp.ndarray)):
+    if isinstance(value, (bool, int, float)):
+        key = (type(value), value)
+        if key not in _SCALAR_MEMO:
+            _SCALAR_MEMO[key] = jnp.asarray(value)
+        value = _SCALAR_MEMO[key]
+    elif not isinstance(value, (np.ndarray, jnp.ndarray)):
         value = np.asarray(value)
     return Variable(tensor=value, name=name)

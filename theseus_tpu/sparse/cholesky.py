@@ -279,8 +279,45 @@ def _factorize_scan(sched: NumericSchedule, ata_flat):
 def solve_with_factor(sched: NumericSchedule, lflat, atb):
     """Solve H x = atb given L. atb (n, B, d) original var order -> x same."""
     if sched.use_levels:
+        if _pallas_level_ok(sched, lflat):
+            return _solve_levels_pallas(sched, lflat, atb)
         return _solve_levels(sched, lflat, atb)
     return _solve_scan(sched, lflat, atb)
+
+
+def _solve_levels_pallas(sched: NumericSchedule, lflat, atb,
+                         interpret: bool = False):
+    """Both substitution passes with each level's arithmetic fused into one
+    Mosaic kernel (pallas_factorize.fwd_sub_level / bwd_sub_level); vectors
+    ride SoA (n, d, B) across levels."""
+    from . import pallas_factorize as pf
+
+    d = atb.shape[-1]
+    b_soa = jnp.moveaxis(atb[sched.perm], 1, -1)  # (n, d, B)
+    lsoa = pf.aos_to_soa(lflat)  # (nnz_l+1, dd, B)
+
+    y = jnp.zeros_like(b_soa)
+    for t in sched.level_tables:
+        ljk = lsoa[t["jk_slots"]]  # (C, ul, dd, B)
+        yk = y[t["upd_k"]]  # (C, ul, d, B)
+        yk = jnp.where(t["upd_valid"][:, :, None, None], yk, 0.0)
+        yj = pf.fwd_sub_level(
+            ljk, yk, b_soa[t["cols"]], lsoa[t["diag_slots"]], d,
+            interpret=interpret,
+        )
+        y = y.at[t["cols"]].set(yj)
+
+    x = jnp.zeros_like(y)
+    for t in reversed(sched.level_tables):
+        lcol = lsoa[t["col_slots"]]  # (C, rl, dd, B)
+        xr = x[t["row_ids"]]  # (C, rl, d, B)
+        rl = t["row_valid"].shape[1]
+        below = t["row_valid"] & (np.arange(rl)[None, :] > 0)
+        xr = jnp.where(below[:, :, None, None], xr, 0.0)
+        xj = pf.bwd_sub_level(lcol, xr, y[t["cols"]], d, interpret=interpret)
+        x = x.at[t["cols"]].set(xj)
+
+    return jnp.moveaxis(x, -1, 1)[sched.iperm]
 
 
 def _bwd_levels(sched: NumericSchedule, lflat, y):

@@ -161,3 +161,123 @@ def soa_to_aos(x, d: int):
     """(S, d*d, B) -> (S, B, d, d)."""
     s, b = x.shape[0], x.shape[-1]
     return jnp.moveaxis(x, -1, 1).reshape(s, b, d, d)
+
+
+# ---------------------------------------------------------------------------
+# substitution kernels: one Mosaic program per column for the per-level
+# forward (L y = b) and backward (L^T x = y) sweeps of cholesky._solve_levels
+# ---------------------------------------------------------------------------
+
+
+def _fwd_sub_kernel(d: int, ul: int):
+    """acc = b - sum_u Ljk[u] @ yk[u]; then lower-triangular solve with the
+    diagonal block. Blocks: ljk (1, ul, d*d, B), yk (1, ul, d, B),
+    b (1, d, B), ldiag (1, d*d, B) -> y (1, d, B)."""
+
+    def kernel(ljk_ref, yk_ref, b_ref, ld_ref, out_ref):
+        acc = [b_ref[0, i, :] for i in range(d)]
+
+        def u_body(u, acc):
+            out = []
+            for i in range(d):
+                a = acc[i]
+                for j in range(d):
+                    a = a - ljk_ref[0, u, i * d + j, :] * yk_ref[0, u, j, :]
+                out.append(a)
+            return tuple(out)
+
+        acc = jax.lax.fori_loop(0, ul, u_body, tuple(acc))
+
+        y = [None] * d
+        for i in range(d):
+            s = acc[i]
+            for k in range(i):
+                s = s - ld_ref[0, i * d + k, :] * y[k]
+            y[i] = s / ld_ref[0, i * d + i, :]
+        for i in range(d):
+            out_ref[0, i, :] = y[i]
+
+    return kernel
+
+
+def _bwd_sub_kernel(d: int, rl: int):
+    """acc = y - sum_{r>=1} Lcol[r]^T x[row_r]; then solve L^T x = acc.
+    Blocks: lcol (1, rl, d*d, B), xr (1, rl, d, B) (row 0 ignored, invalid
+    rows pre-zeroed), y (1, d, B); lcol[0] is the diagonal block."""
+
+    def kernel(lcol_ref, xr_ref, y_ref, out_ref):
+        acc = [y_ref[0, j, :] for j in range(d)]
+        if rl > 1:
+
+            def r_body(r, acc):
+                out = []
+                for j in range(d):
+                    a = acc[j]
+                    for i in range(d):
+                        a = a - lcol_ref[0, r, i * d + j, :] * xr_ref[0, r, i, :]
+                    out.append(a)
+                return tuple(out)
+
+            acc = jax.lax.fori_loop(1, rl, r_body, tuple(acc))
+
+        x = [None] * d
+        for j in reversed(range(d)):
+            s = acc[j]
+            for k in range(j + 1, d):
+                s = s - lcol_ref[0, 0, k * d + j, :] * x[k]
+            x[j] = s / lcol_ref[0, 0, j * d + j, :]
+        for j in range(d):
+            out_ref[0, j, :] = x[j]
+
+    return kernel
+
+
+@lru_cache(maxsize=None)
+def _build_sub_call(kind: str, d: int, n2: int, bsz: int, dtype_name: str,
+                    interpret: bool):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    dtype = jnp.dtype(dtype_name)
+    dd = d * d
+
+    def spec(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda c: (c,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    if kind == "fwd":
+        kernel = _fwd_sub_kernel(d, n2)
+        in_specs = [spec((n2, dd, bsz)), spec((n2, d, bsz)),
+                    spec((d, bsz)), spec((dd, bsz))]
+    else:
+        kernel = _bwd_sub_kernel(d, n2)
+        in_specs = [spec((n2, dd, bsz)), spec((n2, d, bsz)), spec((d, bsz))]
+
+    def call(*args):
+        C = args[0].shape[0]
+        return pl.pallas_call(
+            kernel,
+            grid=(C,),
+            in_specs=in_specs,
+            out_specs=spec((d, bsz)),
+            out_shape=jax.ShapeDtypeStruct((C, d, bsz), dtype),
+            interpret=interpret,
+        )(*args)
+
+    return call
+
+
+def fwd_sub_level(ljk, yk, b, ldiag, d: int, interpret: bool = False):
+    """(C, ul, d*d, B), (C, ul, d, B), (C, d, B), (C, d*d, B) -> (C, d, B)."""
+    call = _build_sub_call("fwd", d, ljk.shape[1], ljk.shape[-1],
+                           jnp.dtype(ljk.dtype).name, interpret)
+    return call(ljk, yk, b, ldiag)
+
+
+def bwd_sub_level(lcol, xr, y, d: int, interpret: bool = False):
+    """(C, rl, d*d, B), (C, rl, d, B), (C, d, B) -> (C, d, B)."""
+    call = _build_sub_call("bwd", d, lcol.shape[1], lcol.shape[-1],
+                           jnp.dtype(lcol.dtype).name, interpret)
+    return call(lcol, xr, y)
