@@ -31,6 +31,11 @@ if not _os.environ.get("THESEUS_TPU_NO_CACHE"):
     # a process running against a different backend (observed: remote-host
     # CPU AOT entries SIGILL-warning on the local CPU)
     _plat = _os.environ.get("JAX_PLATFORMS", "default").replace(",", "_")
+    # the axon remote plugin offloads even CPU-platform compiles to the
+    # remote host, whose AOT artifacts are invalid locally — keep those runs
+    # in their own namespace
+    if _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        _plat += "_remote"
     _cache = _os.environ.get(
         "THESEUS_TPU_CACHE_DIR",
         _os.path.join(
