@@ -128,7 +128,7 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
 
     from .. import config as _config
 
-    if _config.pallas_enabled(dtype):
+    if _config.pallas_enabled(dtype) and not _config._PALLAS_INTERPRET:
         from .pallas_assemble import assemble_fits, assemble_pallas
 
         if assemble_fits(pattern, blocks, bsz):

@@ -159,7 +159,11 @@ def factorize(sched: NumericSchedule, ata_flat):
     """ata_flat (n_slots, B, d, d) -> Lflat (nnz_l+1, B, d, d)."""
     if sched.use_levels:
         if _pallas_level_ok(sched, ata_flat):
-            return _factorize_levels_pallas(sched, ata_flat)
+            from .. import config as _config
+
+            return _factorize_levels_pallas(
+                sched, ata_flat, interpret=_config._PALLAS_INTERPRET
+            )
         return _factorize_levels(sched, ata_flat)
     return _factorize_scan(sched, ata_flat)
 
@@ -169,6 +173,10 @@ def _pallas_level_ok(sched: NumericSchedule, ata_flat) -> bool:
 
     d = ata_flat.shape[-1]
     if not _config.pallas_enabled(ata_flat.dtype) or d > SMALL_DIM_MAX:
+        return False
+    if _config._PALLAS_INTERPRET:
+        # interpret-mode solves would run every grid program in Python;
+        # the kernels have their own direct interpret parity tests
         return False
     from .pallas_factorize import level_fits
 
@@ -280,7 +288,11 @@ def solve_with_factor(sched: NumericSchedule, lflat, atb):
     """Solve H x = atb given L. atb (n, B, d) original var order -> x same."""
     if sched.use_levels:
         if _pallas_level_ok(sched, lflat):
-            return _solve_levels_pallas(sched, lflat, atb)
+            from .. import config as _config
+
+            return _solve_levels_pallas(
+                sched, lflat, atb, interpret=_config._PALLAS_INTERPRET
+            )
         return _solve_levels(sched, lflat, atb)
     return _solve_scan(sched, lflat, atb)
 
