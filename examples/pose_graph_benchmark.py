@@ -75,7 +75,9 @@ def main(g2o_path=None, n_poses=256, iters=10, dtype=jnp.float64):
     np.asarray(err)
     compile_and_run = time.perf_counter() - t0
     # re-time with a perturbed input (remote executors may cache identical
-    # calls); perturbation is in the retract tangent, so chi2 is unaffected
+    # calls); the raw-tensor scale slightly denormalizes the rotation blocks,
+    # so the reported chi2 comes from this (negligibly) perturbed input —
+    # the perturbation exists only to defeat result caching
     state2 = {k: v * (1.0 + jnp.asarray(1e-7, v.dtype)) for k, v in state.items()}
     t0 = time.perf_counter()
     err, hist = solve(state2, aux)

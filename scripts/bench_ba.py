@@ -35,7 +35,10 @@ def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32):
         prob = synthetic_ba(num_cameras=cameras, num_points=points,
                             visibility=0.4, batch=batch, dtype=dtype)
     obj, _, _ = build_ba_objective(prob, dtype=dtype)
+    # ellipsoidal (diag-relative) damping: additive damping at f32 BA scale
+    # (focal ~1e3 => AtA entries ~1e8) makes the first steps singular
     opt = tt.LevenbergMarquardt(obj, max_iterations=10, adaptive_damping=True,
+                                ellipsoidal_damping=True,
                                 linearization=backend)
     layer = tt.TheseusLayer(opt)
     co = obj.compile()
@@ -50,20 +53,25 @@ def per_iter_ms(layer, state, aux, base=4, extra=24):
 
     def make(n):
         @jax.jit
-        def fwd(state, aux):
+        def fwd(state, aux, eps):
+            # cache-proof: the remote executor serves bit-identical repeated
+            # executions from a result cache; perturb the input per rep
+            state = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = layer.optimizer.init_carry(state, aux, opts)
             carry = layer.optimizer.run_scan(carry, aux, n, opts)
             return carry["err"]
         return fwd
 
     f_a, f_b = make(base), make(base + extra)
-    np.asarray(f_a(state, aux)); np.asarray(f_b(state, aux))
+    z = jnp.float32(0)
+    np.asarray(f_a(state, aux, z)); np.asarray(f_b(state, aux, z))
 
     def t(f):
         ts = []
-        for _ in range(3):
+        for i in range(3):
+            eps = jnp.float32(1e-7 * (i + 1))
             t0 = time.perf_counter()
-            np.asarray(f(state, aux))
+            np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 

@@ -31,7 +31,7 @@ def test_ba_converges(lin):
     init_err = np.asarray(obj.error_metric(values=obj.default_values(ba_values(prob))))
     assert np.all(final_err < 1e-4 * init_err)
     # recovered points close to ground truth
-    d = np.asarray(values["pt_3"]) - np.asarray(prob.gt_points[3])
+    d = np.asarray(values["pt"])[3] - np.asarray(prob.gt_points[3])
     assert np.abs(d).max() < 0.05
 
 
@@ -49,5 +49,5 @@ def test_ba_robust_with_outliers():
     opt = tt.LevenbergMarquardt(obj, max_iterations=30, adaptive_damping=True)
     layer = tt.TheseusLayer(opt)
     values, info = layer.forward(ba_values(prob))
-    d = np.asarray(values["pt_5"]) - np.asarray(prob.gt_points[5])
+    d = np.asarray(values["pt"])[5] - np.asarray(prob.gt_points[5])
     assert np.abs(d).max() < 0.1

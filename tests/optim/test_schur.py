@@ -68,3 +68,33 @@ def test_schur_rejects_coupled_landmarks():
 
     with pytest.raises(ValueError):
         SchurNormalBuilder(obj.compile(), eliminate_points)
+
+
+def test_schur_dense_vs_chunked_elimination():
+    """The MXU dense-W path and the scanned chunk path must agree."""
+    from theseus_tpu import config as cfg
+    from theseus_tpu.utils.examples.bundle_adjustment import (
+        ba_values, build_ba_objective, synthetic_ba)
+
+    prob = synthetic_ba(num_cameras=6, num_points=40, batch=2, seed=1,
+                        visibility=0.5)
+    obj, cams, pts = build_ba_objective(prob, gauge_target=prob.gt_poses[0])
+    obj.add(tt.Local(pts[0], prob.gt_points[0], tt.ScaleCostWeight(1e3),
+                     name="pt_gauge"))
+
+    def solve():
+        opt = tt.LevenbergMarquardt(obj, max_iterations=6,
+                                    adaptive_damping=True,
+                                    linearization="schur")
+        layer = tt.TheseusLayer(opt)
+        _, info = layer.forward(ba_values(prob))
+        return np.asarray(info.best_err)
+
+    e_dense = solve()
+    old = cfg.SCHUR_DENSE_BUDGET_BYTES
+    try:
+        cfg.set_schur_dense_budget(0)  # force the chunked lax.scan path
+        e_chunk = solve()
+    finally:
+        cfg.set_schur_dense_budget(old)
+    np.testing.assert_allclose(e_dense, e_chunk, rtol=1e-9)

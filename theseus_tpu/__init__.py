@@ -72,6 +72,17 @@ from .core import (
     as_variable,
 )
 from .core import SE2, SE3, SO2, SO3, Point2, Point3, Vector
+from .core import (
+    CostFamily,
+    Point2Family,
+    Point3Family,
+    SE2Family,
+    SE3Family,
+    SO2Family,
+    SO3Family,
+    VariableFamily,
+    VectorFamily,
+)
 from .layer import TheseusLayer
 from .embodied import (
     Between,

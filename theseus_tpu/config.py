@@ -129,6 +129,22 @@ def set_sparse_block_pad(multiple: int) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Schur dense-elimination budget: when the densified camera-point coupling
+# W and Hcp (each B x (C*d) x (P*d)) fit in this many bytes, the Schur
+# complement S = Hcc - W Hcp^T is computed as ONE batched GEMM on the MXU
+# instead of per-point gather/scatter sweeps. At 128 cams x 4000 pts x f32
+# this is a (768, 32000) x (32000, 768) matmul — exactly what the hardware
+# is built for. Beyond the budget, a lax.scan over point chunks is used.
+# ---------------------------------------------------------------------------
+SCHUR_DENSE_BUDGET_BYTES = 2 << 30
+
+
+def set_schur_dense_budget(nbytes: int) -> None:
+    global SCHUR_DENSE_BUDGET_BYTES
+    SCHUR_DENSE_BUDGET_BYTES = int(nbytes)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused-kernel gate: "auto" enables fused cost kernels on TPU backends
 # for float32; True/False force. (Fused kernels use a polynomial atan2 with
 # ~1e-7 f32 accuracy — bit-exactness with the pure-JAX path is not promised.)

@@ -20,3 +20,14 @@ from .variable import (
     Vector,
     as_variable,
 )
+from .family import (
+    CostFamily,
+    Point2Family,
+    Point3Family,
+    SE2Family,
+    SE3Family,
+    SO2Family,
+    SO3Family,
+    VariableFamily,
+    VectorFamily,
+)

@@ -41,6 +41,9 @@ class SlotSpec:
 class AuxSlotSpec:
     names: Tuple[str, ...]
     shared: bool
+    # stacked=True: the single name refers to a pre-stacked (K, B, ...)
+    # array (CostFamily bulk path) — no per-member jnp.stack at build_aux
+    stacked: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,10 +58,12 @@ class BucketSpec:
     weight_slots: Tuple[AuxSlotSpec, ...]
     robust: bool
     gnc: bool
+    # CostFamily buckets carry no per-member cfs; instance count is explicit
+    count: Optional[int] = None
 
     @property
     def k(self) -> int:
-        return len(self.cfs)
+        return self.count if self.count is not None else len(self.cfs)
 
     @property
     def rows(self) -> int:
@@ -77,6 +82,8 @@ class CompiledObjective:
         aux_defaults: Dict[str, jnp.ndarray],
         optim_defaults: Dict[str, jnp.ndarray],
         dtype=jnp.float32,
+        families: Optional[Dict[str, "object"]] = None,
+        type_segments: Optional[Dict[str, list]] = None,
     ):
         self.var_names = tuple(var_names)
         self.var_groups = dict(var_groups)
@@ -85,6 +92,17 @@ class CompiledObjective:
         self.aux_defaults = dict(aux_defaults)
         self.optim_defaults = dict(optim_defaults)
         self.dtype = dtype
+        # bulk path: families maps family name -> VariableFamily;
+        # type_segments maps type_key -> list of ("vars", [names]) |
+        # ("fam", family) runs, concatenated in order to form the type stack
+        self.families = dict(families or {})
+        self.type_segments = type_segments
+        # names whose value arrays are (N, B, ...) stacked — batch at axis 1
+        self.stacked_names = set(self.families)
+        for bk in self.buckets:
+            for s in list(bk.aux_slots) + list(bk.weight_slots):
+                if s.stacked:
+                    self.stacked_names.add(s.names[0])
 
         self.col_offset: Dict[str, int] = {}
         off = 0
@@ -114,32 +132,68 @@ class CompiledObjective:
 
     # ------------------------------------------------------------------
     def resolve_batch_size(self, values: Dict[str, jnp.ndarray]) -> int:
-        """Max leading dim; 1-batches broadcast (reference objective.py:708)."""
+        """Max leading dim; 1-batches broadcast (reference objective.py:708).
+        Family values carry batch at axis 1 ((N, B, ...) layout)."""
         b = 1
-        for v in values.values():
-            b = max(b, int(v.shape[0]))
+        for k, v in values.items():
+            ax = 1 if k in self.stacked_names else 0
+            if v.ndim > ax:
+                b = max(b, int(v.shape[ax]))
         return b
 
     def pack(self, values: Dict[str, jnp.ndarray], batch_size: Optional[int] = None):
-        """values {name: (B|1, *shape)} -> state {type: (N_t, B, *shape)}."""
+        """values {name: (B|1, *shape)} (+ {family: (N, B|1, *shape)}) ->
+        state {type: (N_t, B, *shape)}. Family blocks enter as single
+        operands — no N-way stack."""
         b = batch_size or self.resolve_batch_size(values)
         state = {}
-        for tk, members in self.type_members.items():
-            g = self.groups_by_type[tk]
-            arrs = []
-            for n in members:
-                v = values[n]
-                if v.shape[0] != b:
-                    v = jnp.broadcast_to(v, (b,) + v.shape[1:])
-                arrs.append(v)
-            state[tk] = jnp.stack(arrs, axis=0)
+        for tk, segs in self._segments(tk_filter=None).items():
+            pieces = []
+            for kind, obj in segs:
+                if kind == "vars":
+                    arrs = []
+                    for n in obj:
+                        v = values[n]
+                        if v.shape[0] != b:
+                            v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+                        arrs.append(v)
+                    pieces.append(jnp.stack(arrs, axis=0))
+                else:
+                    fam = obj
+                    v = values[fam.name]
+                    if not isinstance(v, (np.ndarray, jnp.ndarray)):
+                        v = jnp.asarray(v)
+                    if v.shape[1] != b:
+                        v = jnp.broadcast_to(v, (v.shape[0], b) + v.shape[2:])
+                    pieces.append(v)
+            state[tk] = (
+                pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+            )
         return state
 
+    def _segments(self, tk_filter=None) -> Dict[str, list]:
+        """type_key -> run-length segments; falls back to one all-names run."""
+        if self.type_segments is not None:
+            return self.type_segments
+        return {
+            tk: [("vars", list(members))]
+            for tk, members in self.type_members.items()
+        }
+
     def unpack(self, state) -> Dict[str, jnp.ndarray]:
+        """state -> {individual name: (B, ...)} + {family name: (N, B, ...)}."""
         out = {}
-        for tk, members in self.type_members.items():
-            for i, n in enumerate(members):
-                out[n] = state[tk][i]
+        for tk, segs in self._segments().items():
+            off = 0
+            for kind, obj in segs:
+                if kind == "vars":
+                    for n in obj:
+                        out[n] = state[tk][off]
+                        off += 1
+                else:
+                    fam = obj
+                    out[fam.name] = state[tk][off : off + fam.count]
+                    off += fam.count
         return out
 
     def build_aux(self, values: Dict[str, jnp.ndarray], batch_size: Optional[int] = None):
@@ -152,10 +206,21 @@ class CompiledObjective:
                 v = jnp.broadcast_to(v, (b,) + v.shape[1:])
             return v
 
+        def get_stacked(n):
+            """Pre-stacked (K, B|1, ...) array; broadcast batch at axis 1."""
+            v = values[n] if n in values else self.aux_defaults[n]
+            if not isinstance(v, (np.ndarray, jnp.ndarray)):
+                v = jnp.asarray(v)
+            if v.ndim >= 2 and v.shape[1] != b:
+                v = jnp.broadcast_to(v, (v.shape[0], b) + v.shape[2:])
+            return v
+
         def build_slots(slots):
             out = []
             for s in slots:
-                if s.shared:
+                if s.stacked:
+                    out.append(get_stacked(s.names[0]))  # (K, B, ...)
+                elif s.shared:
                     out.append(get(s.names[0]))  # (B, ...)
                 else:
                     out.append(jnp.stack([get(n) for n in s.names], axis=0))
@@ -390,42 +455,154 @@ class CompiledObjective:
         return {tk: jnp.stack(arrs, axis=0) for tk, arrs in per_type.items()}
 
 
+def _family_bucket(fam_cf, bucket_i, row_offset, type_index, col_offset):
+    """One BucketSpec from a CostFamily — vectorized index construction."""
+    from .cost_function import GNCRobustCostFunction, RobustCostFunction
+
+    template = fam_cf.template
+    count = fam_cf.count
+    optim_slots = []
+    for si, m in enumerate(fam_cf.members):
+        if isinstance(m, tuple):
+            fam, idx = m
+            g = fam.group
+            base_t = type_index[fam.member_name(0)]
+            base_c = col_offset[fam.member_name(0)]
+            sidx = base_t + idx
+            cols = base_c + idx[:, None] * g.dof + np.arange(g.dof)[None, :]
+            shared = False
+        else:
+            g = m.group
+            sidx = np.full(count, type_index[m.name], dtype=np.int64)
+            c0 = col_offset[m.name]
+            cols = np.broadcast_to(
+                c0 + np.arange(g.dof)[None, :], (count, g.dof)
+            ).copy()
+            shared = True
+        optim_slots.append(
+            SlotSpec(type_key=g.name, dof=g.dof, idx=sidx, cols=cols,
+                     shared=shared)
+        )
+
+    def slots_for(avars):
+        out = []
+        for a in avars:
+            stacked = fam_cf.aux_is_stacked(a)
+            out.append(
+                AuxSlotSpec(names=(a.name,), shared=not stacked,
+                            stacked=stacked)
+            )
+        return tuple(out)
+
+    return BucketSpec(
+        name=f"bucket_{bucket_i}_{fam_cf.name}",
+        template=template,
+        cfs=(),
+        count=count,
+        dim=template.dim(),
+        row_offset=row_offset,
+        optim_slots=tuple(optim_slots),
+        aux_slots=slots_for(template.aux_vars),
+        weight_slots=slots_for(template.weight.aux_vars),
+        robust=isinstance(template, RobustCostFunction),
+        gnc=isinstance(template, GNCRobustCostFunction),
+    )
+
+
 def compile_objective(objective, vectorize: bool = True) -> CompiledObjective:
     """Bucket cost functions by schema and freeze all index arrays.
 
     vectorize=False gives every cost function its own single-member bucket —
     the analog of running the reference without Vectorize
     (theseus/core/vectorizer.py; evaluations/vectorization_ablation.sh) for
-    ablation studies. Semantics are identical; only the batching changes."""
+    ablation studies. Semantics are identical; only the batching changes.
+    CostFamily entries (bulk construction) always form one bucket each."""
+    from .family import CostFamily, VariableFamily
+
     cfs = list(objective.cost_functions.values())
     if not cfs:
         raise ValueError("Objective has no cost functions.")
 
-    # optim var registry, insertion order
-    var_names: List[str] = []
+    # optim var registry, insertion order; family members register the whole
+    # family as one contiguous run
+    var_entries: List[Tuple[str, object]] = []  # ("var", name)|("fam", family)
     var_groups: Dict[str, Group] = {}
+    families: Dict[str, VariableFamily] = {}
     optim_defaults = {}
     aux_defaults = {}
+
+    def reg_family(fam: VariableFamily):
+        if fam.name in families:
+            return
+        if fam.name in var_groups:
+            raise ValueError(f"Name clash: {fam.name} is already a variable.")
+        families[fam.name] = fam
+        var_entries.append(("fam", fam))
+        for i in range(fam.count):
+            var_groups[fam.member_name(i)] = fam.group
+        if fam.tensor is not None:
+            optim_defaults[fam.name] = fam.tensor
+
+    def reg_var(v):
+        fam = getattr(v, "family", None)
+        if fam is not None:
+            reg_family(fam)
+            return
+        if v.name not in var_groups:
+            var_entries.append(("var", v.name))
+            var_groups[v.name] = v.group
+            if v.tensor is not None:
+                optim_defaults[v.name] = v.tensor
+        elif var_groups[v.name] is not v.group and var_groups[v.name] != v.group:
+            raise ValueError(f"Variable {v.name} registered with two groups.")
+
     for cf in cfs:
+        if isinstance(cf, CostFamily):
+            for m in cf.members:
+                if isinstance(m, tuple):
+                    reg_family(m[0])
+                else:
+                    reg_var(m)
+            for a in list(cf.template.aux_vars) + list(cf.template.weight.aux_vars):
+                if a.tensor is not None and a.name not in aux_defaults:
+                    aux_defaults[a.name] = a.tensor
+            continue
         for v in cf.optim_vars:
-            if v.name not in var_groups:
-                var_names.append(v.name)
-                var_groups[v.name] = v.group
-                if v.tensor is not None:
-                    optim_defaults[v.name] = v.tensor
-            elif var_groups[v.name] is not v.group and var_groups[v.name] != v.group:
-                raise ValueError(f"Variable {v.name} registered with two groups.")
+            reg_var(v)
         for a in list(cf.aux_vars) + list(cf.weight.aux_vars):
             if a.tensor is not None and a.name not in aux_defaults:
                 aux_defaults[a.name] = a.tensor
 
-    # type stacks
-    type_members: Dict[str, Tuple[str, ...]] = {}
-    tmp: Dict[str, List[str]] = {}
-    for n in var_names:
-        tmp.setdefault(var_groups[n].name, []).append(n)
-    for tk, ms in tmp.items():
-        type_members[tk] = tuple(ms)
+    # expanded member-name list (tangent layout order)
+    var_names: List[str] = []
+    for kind, obj in var_entries:
+        if kind == "var":
+            var_names.append(obj)
+        else:
+            var_names.extend(obj.member_name(i) for i in range(obj.count))
+
+    # type stacks: per type, runs of individual vars / family blocks in
+    # registration order; expanded type_members kept for downstream code
+    type_segments: Dict[str, list] = {}
+    type_members_l: Dict[str, List[str]] = {}
+    for kind, obj in var_entries:
+        if kind == "var":
+            tk = var_groups[obj].name
+            segs = type_segments.setdefault(tk, [])
+            if segs and segs[-1][0] == "vars":
+                segs[-1][1].append(obj)
+            else:
+                segs.append(("vars", [obj]))
+            type_members_l.setdefault(tk, []).append(obj)
+        else:
+            tk = obj.group.name
+            type_segments.setdefault(tk, []).append(("fam", obj))
+            type_members_l.setdefault(tk, []).extend(
+                obj.member_name(i) for i in range(obj.count)
+            )
+    type_members: Dict[str, Tuple[str, ...]] = {
+        tk: tuple(ms) for tk, ms in type_members_l.items()
+    }
     type_index = {n: i for ms in type_members.values() for i, n in enumerate(ms)}
 
     dtype = None
@@ -435,11 +612,15 @@ def compile_objective(objective, vectorize: bool = True) -> CompiledObjective:
             break
     dtype = dtype or jnp.float32
 
-    # schema bucketing, preserving insertion order of first member
+    # schema bucketing, preserving insertion order of first member;
+    # CostFamily entries are always their own (pre-fused) bucket
     bucket_map: Dict = {}
     order: List = []
     for cf in cfs:
-        key = cf.schema() if vectorize else (cf.schema(), cf.name)
+        if isinstance(cf, CostFamily):
+            key = ("__family__", cf.name)
+        else:
+            key = cf.schema() if vectorize else (cf.schema(), cf.name)
         if key not in bucket_map:
             bucket_map[key] = []
             order.append(key)
@@ -456,6 +637,13 @@ def compile_objective(objective, vectorize: bool = True) -> CompiledObjective:
     for key in order:
         members = bucket_map[key]
         t0 = members[0]
+        if isinstance(t0, CostFamily):
+            bk = _family_bucket(
+                t0, len(buckets), row_offset, type_index, col_offset
+            )
+            buckets.append(bk)
+            row_offset += bk.rows
+            continue
         optim_slots = []
         for si, v in enumerate(t0.optim_vars):
             g = v.group
@@ -507,4 +695,6 @@ def compile_objective(objective, vectorize: bool = True) -> CompiledObjective:
         aux_defaults=aux_defaults,
         optim_defaults=optim_defaults,
         dtype=dtype,
+        families=families,
+        type_segments=type_segments,
     )

@@ -53,18 +53,15 @@ class CostWeight:
 class ScaleCostWeight(CostWeight):
     """Scalar scale (reference core/cost_weight.py:60)."""
 
-    _scalar_memo: dict = {}
-
     def __init__(self, scale=1.0, name: Optional[str] = None):
         super().__init__(name)
         if isinstance(scale, (bool, int, float)):
             # memoized weak-typed (1, 1) constant: one device dispatch per
-            # distinct value, not one per cost (and no strong-f64 promotion)
-            key = (type(scale), scale)
-            memo = ScaleCostWeight._scalar_memo
-            if key not in memo:
-                memo[key] = jnp.asarray(scale).reshape(1, 1)
-            scale = memo[key]
+            # distinct value, not one per cost (and no strong-f64 promotion);
+            # bounded + x64-aware via the shared scalar memo
+            from .variable import _memo_scalar
+
+            scale = _memo_scalar(scale).reshape(1, 1)
         v = as_variable(scale)
         if v.tensor.ndim == 0:
             v.tensor = v.tensor.reshape(1, 1)

@@ -25,25 +25,49 @@ class Objective:
     def __init__(self, dtype=jnp.float32):
         self.cost_functions: "OrderedDict[str, CostFunction]" = OrderedDict()
         self.optim_vars: Dict[str, ManifoldVariable] = {}
+        self.var_families: Dict[str, "object"] = {}
         self.aux_vars: Dict[str, Variable] = {}
         self.dtype = dtype
         self._compiled: Optional[CompiledObjective] = None
         self.current_version = 0
 
-    def add(self, cost_function: CostFunction):
+    def _register_optim(self, v):
+        fam = getattr(v, "family", None)
+        if fam is not None:
+            self.var_families[fam.name] = fam
+            return
+        existing = self.optim_vars.get(v.name)
+        if existing is not None and existing is not v:
+            if existing.group != v.group:
+                raise ValueError(
+                    f"Optim variable name clash with different groups: {v.name}"
+                )
+        self.optim_vars[v.name] = v
+        if v.name in self.aux_vars:
+            raise ValueError(f"{v.name} already registered as auxiliary.")
+
+    def add(self, cost_function):
+        """Add a CostFunction or a CostFamily (bulk; core/family.py)."""
+        from .family import CostFamily
+
         if cost_function.name in self.cost_functions:
             raise ValueError(f"Duplicate cost function name {cost_function.name}")
-        for v in cost_function.optim_vars:
-            existing = self.optim_vars.get(v.name)
-            if existing is not None and existing is not v:
-                if existing.group != v.group:
-                    raise ValueError(
-                        f"Optim variable name clash with different groups: {v.name}"
-                    )
-            self.optim_vars[v.name] = v
-            if v.name in self.aux_vars:
-                raise ValueError(f"{v.name} already registered as auxiliary.")
-        for a in list(cost_function.aux_vars) + list(cost_function.weight.aux_vars):
+        if isinstance(cost_function, CostFamily):
+            for m in cost_function.members:
+                if isinstance(m, tuple):
+                    self.var_families[m[0].name] = m[0]
+                else:
+                    self._register_optim(m)
+            aux = list(cost_function.template.aux_vars) + list(
+                cost_function.template.weight.aux_vars
+            )
+        else:
+            for v in cost_function.optim_vars:
+                self._register_optim(v)
+            aux = list(cost_function.aux_vars) + list(
+                cost_function.weight.aux_vars
+            )
+        for a in aux:
             if a.name in self.optim_vars:
                 raise ValueError(f"{a.name} already registered as optimization var.")
             self.aux_vars[a.name] = a
@@ -53,20 +77,40 @@ class Objective:
         return self
 
     def erase(self, name: str):
+        from .family import CostFamily
+
+        def refs(c):
+            """(optim names, family names, aux names) referenced by c."""
+            if isinstance(c, CostFamily):
+                ov = [m.name for m in c.members if not isinstance(m, tuple)]
+                fams = [m[0].name for m in c.members if isinstance(m, tuple)]
+                aux = list(c.template.aux_vars) + list(c.template.weight.aux_vars)
+            else:
+                ov = [v.name for v in c.optim_vars]
+                fams = [
+                    v.family.name
+                    for v in c.optim_vars
+                    if getattr(v, "family", None) is not None
+                ]
+                aux = list(c.aux_vars) + list(c.weight.aux_vars)
+            return ov, fams, [a.name for a in aux]
+
         cf = self.cost_functions.pop(name)
         # drop variables that no longer appear anywhere
         still = set()
         for c in self.cost_functions.values():
-            for v in c.optim_vars:
-                still.add(v.name)
-            for a in list(c.aux_vars) + list(c.weight.aux_vars):
-                still.add(a.name)
-        for v in cf.optim_vars:
-            if v.name not in still:
-                self.optim_vars.pop(v.name, None)
-        for a in list(cf.aux_vars) + list(cf.weight.aux_vars):
-            if a.name not in still:
-                self.aux_vars.pop(a.name, None)
+            for group in refs(c):
+                still.update(group)
+        ov, fams, aux = refs(cf)
+        for n in ov:
+            if n not in still:
+                self.optim_vars.pop(n, None)
+        for n in fams:
+            if n not in still:
+                self.var_families.pop(n, None)
+        for n in aux:
+            if n not in still:
+                self.aux_vars.pop(n, None)
         self._compiled = None
         self.current_version += 1
         return cf
@@ -87,18 +131,25 @@ class Objective:
         return len(self.aux_vars)
 
     def dim(self) -> int:
-        return sum(cf.dim() for cf in self.cost_functions.values())
+        from .family import CostFamily
+
+        return sum(
+            cf.total_dim() if isinstance(cf, CostFamily) else cf.dim()
+            for cf in self.cost_functions.values()
+        )
 
     def compile(self, vectorize: Optional[bool] = None) -> CompiledObjective:
         """vectorize: True = schema-bucketed (default), False = one bucket
-        per cost (Vectorize-off ablation analog), None = reuse the cached
-        compilation whatever its mode (or vectorized if none cached)."""
-        if self._compiled is not None and (
-            vectorize is None
-            or getattr(self._compiled, "_vectorized", True) == vectorize
+        per cost (Vectorize-off ablation analog). None means "the default,
+        vectorized" — an earlier explicit compile(vectorize=False) ablation
+        call is NOT silently reused (that would leave every subsequent
+        optimizer/TheseusLayer use on the one-bucket-per-cost compilation)."""
+        want = True if vectorize is None else vectorize
+        if (
+            self._compiled is not None
+            and getattr(self._compiled, "_vectorized", True) == want
         ):
             return self._compiled
-        want = True if vectorize is None else vectorize
         self._compiled = compile_objective(self, vectorize=want)
         self._compiled._vectorized = want
         return self._compiled
@@ -109,6 +160,8 @@ class Objective:
         values = {}
         for n, v in self.optim_vars.items():
             values[n] = v.default(dtype=self.dtype)
+        for n, fam in self.var_families.items():
+            values[n] = fam.default(dtype=self.dtype)
         for n, a in self.aux_vars.items():
             if a.tensor is not None:
                 values[n] = a.tensor

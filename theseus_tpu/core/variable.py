@@ -113,6 +113,23 @@ def Point3(tensor=None, name: Optional[str] = None) -> ManifoldVariable:
 
 
 _SCALAR_MEMO: dict = {}
+_SCALAR_MEMO_MAX = 4096
+
+
+def _memo_scalar(value):
+    """Bounded, x64-aware memo for Python-scalar constants: the key carries
+    the current x64 flag (an entry created before toggling jax_enable_x64
+    must not be reused after), and the cache evicts oldest-first so
+    data-dependent weights (10^5 distinct floats) cannot leak unboundedly."""
+    import jax as _jax
+
+    key = (type(value), value, bool(_jax.config.jax_enable_x64))
+    hit = _SCALAR_MEMO.get(key)
+    if hit is None:
+        if len(_SCALAR_MEMO) >= _SCALAR_MEMO_MAX:
+            _SCALAR_MEMO.pop(next(iter(_SCALAR_MEMO)))
+        hit = _SCALAR_MEMO[key] = jnp.asarray(value)
+    return hit
 
 
 def as_variable(value, name: Optional[str] = None) -> Variable:
@@ -124,10 +141,7 @@ def as_variable(value, name: Optional[str] = None) -> Variable:
     if isinstance(value, Variable):
         return value
     if isinstance(value, (bool, int, float)):
-        key = (type(value), value)
-        if key not in _SCALAR_MEMO:
-            _SCALAR_MEMO[key] = jnp.asarray(value)
-        value = _SCALAR_MEMO[key]
+        value = _memo_scalar(value)
     elif not isinstance(value, (np.ndarray, jnp.ndarray)):
         value = np.asarray(value)
     return Variable(tensor=value, name=name)

@@ -123,48 +123,94 @@ class SchurNormal:
             jnp.swapaxes(cc_b[:, off], -1, -2)
         )
 
-        # S -= sum over points of W_k H_l^T for camera pairs (k, l) of point
-        # p, processed in point chunks so the (Pc, K, K, B, d, d) pair tensor
-        # stays bounded (unchunked it is multi-GB at 128x4000-scale BA)
-        K = bld.ppad_obs.shape[1]
-        per_pt = max(1, K * K * bsz * d * d * 4)
-        chunk = max(1, min(P, (256 << 20) // per_pt))
-        s_acc = jnp.zeros((C * C + 1, bsz, d, d), dtype=dtype)
-        campair = bld.ppad_campair.reshape(P, K * K)
-        for p0 in range(0, P, chunk):
-            sl = slice(p0, min(P, p0 + chunk))
-            vmask = bld.ppad_valid[sl][:, :, None, None, None]
-            wg = jnp.where(vmask, w[bld.ppad_obs[sl]], 0.0)  # (Pc,K,B,d,d)
-            hg = jnp.where(vmask, hcp[bld.ppad_obs[sl]], 0.0)
-            pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
-            s_acc = s_acc + _seg_sum(
-                pair_s.reshape(-1, bsz, d, d),
-                campair[sl].reshape(-1),
-                C * C + 1,
-                dtype,
-            )
-        s_upd = s_acc[:-1].reshape(C, C, bsz, d, d)
-        hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
-
-        s_mat = (
-            jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d)
-        )
-
-        # reduced rhs: bc - sum W_o bp_{p(o)} scattered at cam(o)
         bc = rhs[bld.cam_vars_np]  # (C, B, d)
-        wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, d)
-        red = _seg_sum(wb, bld.cp_cam, C, dtype)
-        rc = (bc - red)  # (C, B, d)
-        rc_flat = jnp.moveaxis(rc, 0, 1).reshape(bsz, C * d)
+        bp_flat = jnp.moveaxis(bp, 0, 1).reshape(bsz, P * d)
 
-        ls = jnp.linalg.cholesky(s_mat)
-        xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
-        xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
+        if bld.use_dense_elimination(bsz, dtype):
+            # MXU path: densify W and Hcp as (B, C*d, P*d) and compute the
+            # whole S update + reduced rhs + landmark back-substitution as
+            # three batched GEMMs. Zero blocks (non-observed pairs) cost
+            # FLOPs but the systolic array wins by orders of magnitude over
+            # per-point gather/scatter at BA scale.
+            def to2d(blocks):  # (O, B, d, d) -> (B, C*d, P*d)
+                dd = jnp.zeros((C, P, bsz, d, d), dtype=dtype)
+                dd = dd.at[bld.cp_cam, bld.cp_pt].set(blocks)
+                return jnp.moveaxis(dd, 2, 0).transpose(0, 1, 3, 2, 4).reshape(
+                    bsz, C * d, P * d
+                )
 
-        # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
-        hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])  # H^T xc per obs
-        acc = _seg_sum(hx, bld.cp_pt, P, dtype)
-        xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, d)
+            W2 = to2d(w)
+            H2 = to2d(hcp)
+            s_upd2 = jnp.einsum("bcp,bqp->bcq", W2, H2)  # (B, Cd, Cd)
+            s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d) - s_upd2
+            red_flat = jnp.einsum("bcp,bp->bc", W2, bp_flat)  # (B, Cd)
+            rc_flat = (
+                jnp.moveaxis(bc, 0, 1).reshape(bsz, C * d) - red_flat
+            )
+            ls = jnp.linalg.cholesky(s_mat)
+            xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
+            xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
+            hx_flat = jnp.einsum("bcp,bc->bp", H2, xc_flat)  # (B, Pd)
+            acc = jnp.moveaxis(hx_flat.reshape(bsz, P, d), 1, 0)  # (P, B, d)
+            xp = _chol_solve_vec(lpp, bp - acc)
+        else:
+            # chunked path: S -= sum over points of W_k H_l^T for camera
+            # pairs (k, l) of point p, as a lax.scan over fixed-size point
+            # chunks (compiled-program size is O(1) in P; the pair tensor
+            # (Pc, K, K, B, d, d) stays bounded per chunk)
+            ppad_obs, ppad_valid, campair = bld.ppad_tables()
+            K = ppad_obs.shape[1]
+            per_pt = max(1, K * K * bsz * d * d * 4)
+            chunk = max(1, min(P, (256 << 20) // per_pt))
+            n_chunks = (P + chunk - 1) // chunk
+            Ppad = n_chunks * chunk
+            pad = Ppad - P
+
+            obs_x = np.concatenate(
+                [ppad_obs, np.zeros((pad, K), np.int64)]
+            ).reshape(n_chunks, chunk, K)
+            val_x = np.concatenate(
+                [ppad_valid, np.zeros((pad, K), bool)]
+            ).reshape(n_chunks, chunk, K)
+            pair_x = np.concatenate(
+                [campair, np.full((pad, K * K), C * C, np.int64)]
+            ).reshape(n_chunks, chunk, K * K)
+
+            def body(s_acc, x):
+                obs_c, val_c, pair_c = x
+                vmask = val_c[:, :, None, None, None]
+                wg = jnp.where(vmask, w[obs_c], 0.0)  # (Pc,K,B,d,d)
+                hg = jnp.where(vmask, hcp[obs_c], 0.0)
+                pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
+                s_acc = s_acc.at[pair_c.reshape(-1)].add(
+                    pair_s.reshape(-1, bsz, d, d)
+                )
+                return s_acc, None
+
+            s_acc0 = jnp.zeros((C * C + 1, bsz, d, d), dtype=dtype)
+            s_acc, _ = jax.lax.scan(
+                body,
+                s_acc0,
+                (jnp.asarray(obs_x), jnp.asarray(val_x), jnp.asarray(pair_x)),
+            )
+            s_upd = s_acc[:-1].reshape(C, C, bsz, d, d)
+            hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
+            s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d)
+
+            # reduced rhs: bc - sum W_o bp_{p(o)} scattered at cam(o)
+            wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, d)
+            red = _seg_sum(wb, bld.cp_cam, C, dtype)
+            rc = bc - red  # (C, B, d)
+            rc_flat = jnp.moveaxis(rc, 0, 1).reshape(bsz, C * d)
+
+            ls = jnp.linalg.cholesky(s_mat)
+            xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
+            xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
+
+            # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
+            hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])
+            acc = _seg_sum(hx, bld.cp_pt, P, dtype)
+            xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, d)
 
         x_blocks = jnp.zeros((bld.pattern.n_vars, bsz, d), dtype=dtype)
         x_blocks = x_blocks.at[bld.cam_vars_np].set(xc)
@@ -231,23 +277,7 @@ class SchurNormalBuilder:
             [self.pattern.pair_slot[(v, v)] for v in self.pt_vars], dtype=np.int64
         )
 
-        # per-point padded observation table for the S update
-        P = len(self.pt_vars)
-        by_pt: List[List[int]] = [[] for _ in range(P)]
-        for o, p in enumerate(self.cp_pt):
-            by_pt[int(p)].append(o)
-        K = max((len(b) for b in by_pt), default=1)
-        self.ppad_obs = np.zeros((P, K), dtype=np.int64)
-        self.ppad_valid = np.zeros((P, K), dtype=bool)
-        campair = np.full((P, K, K), C * C, dtype=np.int64)  # dump row
-        for p, obs in enumerate(by_pt):
-            for a, oa in enumerate(obs):
-                self.ppad_obs[p, a] = oa
-                self.ppad_valid[p, a] = True
-            for a, oa in enumerate(obs):
-                for b, ob in enumerate(obs):
-                    campair[p, a, b] = self.cp_cam[oa] * C + self.cp_cam[ob]
-        self.ppad_campair = campair.reshape(-1)
+        self._ppad = None  # per-point padded tables, built lazily (chunk path)
 
         # flatten tables (global tangent layout, same as sparse backend)
         sel = []
@@ -262,6 +292,42 @@ class SchurNormalBuilder:
         self.bw_jj = np.array([k[1] for k, _ in items])
         self.bw_slots = np.array([s for _, s in items])
         self.bw_isdiag = self.bw_ii == self.bw_jj
+
+    def use_dense_elimination(self, bsz: int, dtype) -> bool:
+        """True when densified W/Hcp (B, C*d, P*d) fit the config budget."""
+        from .. import config as _config
+
+        C, P, d = len(self.cam_vars), len(self.pt_vars), self.pattern.d
+        itemsize = jnp.dtype(dtype).itemsize
+        # W2, H2, plus one matmul transient of the same size
+        return 3 * bsz * (C * d) * (P * d) * itemsize <= (
+            _config.SCHUR_DENSE_BUDGET_BYTES
+        )
+
+    def ppad_tables(self):
+        """(ppad_obs (P, K), ppad_valid (P, K), campair (P, K*K)) — padded
+        per-point observation tables for the chunked S update; built lazily
+        and vectorized (the dense-elimination path never needs them)."""
+        if self._ppad is not None:
+            return self._ppad
+        C, P = len(self.cam_vars), len(self.pt_vars)
+        O = len(self.cp_pt)
+        counts = np.bincount(self.cp_pt, minlength=P)
+        K = max(1, int(counts.max()) if O else 1)
+        order = np.argsort(self.cp_pt, kind="stable")
+        starts = np.cumsum(counts) - counts
+        pos = np.arange(O) - starts[self.cp_pt[order]]
+        ppad_obs = np.zeros((P, K), dtype=np.int64)
+        ppad_valid = np.zeros((P, K), dtype=bool)
+        ppad_obs[self.cp_pt[order], pos] = order
+        ppad_valid[self.cp_pt[order], pos] = True
+        cam_at = np.where(ppad_valid, self.cp_cam[ppad_obs], 0)  # (P, K)
+        pairv = ppad_valid[:, :, None] & ppad_valid[:, None, :]
+        campair = np.where(
+            pairv, cam_at[:, :, None] * C + cam_at[:, None, :], C * C
+        ).reshape(P, K * K)
+        self._ppad = (ppad_obs, ppad_valid, campair)
+        return self._ppad
 
     def flatten(self, blocks):
         bsz = blocks.shape[1]

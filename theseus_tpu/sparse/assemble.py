@@ -48,45 +48,67 @@ def build_block_pattern(co: CompiledObjective) -> BlockPattern:
     if m > 1:
         d = ((d + m - 1) // m) * m
 
-    pair_slot: Dict[Tuple[int, int], int] = {}
-    pairs: Set[Tuple[int, int]] = set()
-    slot = 1
-    for i in range(n_vars):  # diagonal blocks first
-        pair_slot[(i, i)] = slot
-        slot += 1
+    # fully vectorized pattern construction (a 2*10^5-observation BA family
+    # would otherwise pay ~10^6 Python dict operations here):
+    # global var id per slot from the tangent-column table, then one
+    # np.unique over all off-diagonal (lo, hi) keys to number the slots.
+    col2var = np.repeat(np.arange(n_vars), var_dofs.astype(np.int64))
 
     bucket_gvars: List[List[np.ndarray]] = []
-    bucket_pair_sched: List[List] = []
+    raw_scheds: List[List] = []  # (s, t, lo, hi, needs_t, also_diag)
+    all_off_keys = []
     for bk in co.buckets:
-        gvars = []
-        for s in bk.optim_slots:
-            names = [co.type_members[s.type_key][i] for i in s.idx]
-            gvars.append(np.array([var_index[nm] for nm in names]))
+        gvars = [col2var[np.asarray(s.cols)[:, 0]] for s in bk.optim_slots]
         bucket_gvars.append(gvars)
-
         sched = []
         nslots = len(bk.optim_slots)
         for s in range(nslots):
             for t in range(s, nslots):
-                gi, gj = gvars[s], gvars[t]
-                tgt = np.empty(bk.k, dtype=np.int64)
-                needs_t = np.zeros(bk.k, dtype=bool)
-                also_diag = np.zeros(bk.k, dtype=bool)
-                for k in range(bk.k):
-                    a, b = int(gi[k]), int(gj[k])
-                    lo, hi = (a, b) if a <= b else (b, a)
-                    if (lo, hi) not in pair_slot:
-                        pair_slot[(lo, hi)] = slot
-                        slot += 1
-                        pairs.add((lo, hi))
-                    tgt[k] = pair_slot[(lo, hi)]
-                    # store J_s^T J_t at canonical orientation (lo, hi):
-                    # value is rows=lo, cols=hi; contribution C has rows=a
-                    needs_t[k] = a > b
-                    # same var in two slots of one cost: diagonal gets C + C^T
-                    also_diag[k] = (s != t) and (a == b)
-                sched.append((s, t, tgt, needs_t, also_diag))
-        bucket_pair_sched.append(sched)
+                a, b = gvars[s], gvars[t]
+                lo = np.minimum(a, b)
+                hi = np.maximum(a, b)
+                # store J_s^T J_t at canonical orientation (lo, hi):
+                # value is rows=lo, cols=hi; contribution C has rows=a
+                needs_t = a > b
+                # same var in two slots of one cost: diagonal gets C + C^T
+                also_diag = (s != t) & (a == b)
+                sched.append((s, t, lo, hi, needs_t, also_diag))
+                off = lo != hi
+                if off.any():
+                    all_off_keys.append(
+                        lo[off].astype(np.int64) * n_vars + hi[off]
+                    )
+        raw_scheds.append(sched)
+
+    uniq_off = (
+        np.unique(np.concatenate(all_off_keys))
+        if all_off_keys
+        else np.empty(0, np.int64)
+    )
+    # slots: 0 = zero sentinel, 1..n_vars = diagonal blocks, then
+    # off-diagonal pairs in sorted-key order
+    pair_slot: Dict[Tuple[int, int], int] = {
+        (i, i): i + 1 for i in range(n_vars)
+    }
+    pairs: Set[Tuple[int, int]] = set()
+    for r, key in enumerate(uniq_off):
+        lo, hi = divmod(int(key), n_vars)
+        pair_slot[(lo, hi)] = n_vars + 1 + r
+        pairs.add((lo, hi))
+    slot = n_vars + 1 + len(uniq_off)
+
+    bucket_pair_sched: List[List] = []
+    for sched in raw_scheds:
+        out = []
+        for (s, t, lo, hi, needs_t, also_diag) in sched:
+            key = lo.astype(np.int64) * n_vars + hi
+            tgt = np.where(
+                lo == hi,
+                lo + 1,
+                n_vars + 1 + np.searchsorted(uniq_off, key),
+            ).astype(np.int64)
+            out.append((s, t, tgt, needs_t, also_diag))
+        bucket_pair_sched.append(out)
 
     pad_diag = np.zeros((n_vars, d))
     dof_mask = np.zeros((n_vars, d))

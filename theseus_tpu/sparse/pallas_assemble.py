@@ -144,10 +144,21 @@ def assemble_fits(pattern, blocks, bsz) -> bool:
     # VMEM tiles pad the lane (last) dim to 128: a batch-1 column still
     # occupies full 128-lane tiles
     lanes = ((bsz + 127) // 128) * 128
-    acc = (pattern.n_slots * SL + pattern.n_vars * SV) * lanes * 4
+    # accumulators appear twice (aliased input spec + output spec)
+    acc = 2 * (pattern.n_slots * SL + pattern.n_vars * SV) * lanes * 4
+    # per-edge tiles follow the kernel's in_specs: each jac slot is an
+    # (E, m*d) tile and err an (E, m) tile, with m the bucket's residual
+    # dim (err.shape[2]) — NOT d*d (a dim-m patch residual over dof-d vars
+    # needs m*d rows; sizing by d*d under-reserves when m > d and
+    # over-reserves when m < d)
     per_bucket = max(
-        (len(jacs) + 1) * _EDGE_CHUNK * _round8(max(1, d) * d) * lanes * 4
-        for jacs, _ in blocks
+        (
+            len(jacs) * _EDGE_CHUNK * _round8(err.shape[2] * d)
+            + _EDGE_CHUNK * _round8(err.shape[2])
+        )
+        * lanes
+        * 4
+        for jacs, err in blocks
     )
     return acc + per_bucket <= _VMEM_BUDGET
 

@@ -211,10 +211,22 @@ def build_ba_objective(
     fix_first_camera: bool = True,
     gauge_target=None,
     weight=None,
+    use_families: bool = True,
 ):
     """Reprojection objective (reference examples/bundle_adjustment.py:112):
     one Reprojection cost per observation over SE3 camera vars and Point3
-    landmark vars; optional robust wrapper; prior on camera 0 for gauge."""
+    landmark vars; optional robust wrapper; prior on camera 0 for gauge.
+
+    Default path uses the bulk family API (core/family.py): ONE CostFamily
+    over a camera VariableFamily + point VariableFamily, with pre-stacked
+    per-observation aux — O(1) construction and trace-time operands at BAL
+    scale (2*10^5 observations), where the per-cost path (use_families=False,
+    kept for parity tests) is O(N) in both."""
+    if use_families:
+        return _build_ba_objective_family(
+            prob, dtype, robust_loss_cls, log_loss_radius, fix_first_camera,
+            gauge_target, weight,
+        )
     obj = core.Objective(dtype=dtype)
     cams = [core.SE3(name=f"cam_{i}") for i in range(prob.num_cameras)]
     pts = [core.Point3(name=f"pt_{i}") for i in range(prob.num_points)]
@@ -258,7 +270,73 @@ def build_ba_objective(
     return obj, cams, pts
 
 
-def ba_values(prob: BAProblem) -> Dict[str, jnp.ndarray]:
+def _build_ba_objective_family(
+    prob: BAProblem,
+    dtype,
+    robust_loss_cls,
+    log_loss_radius,
+    fix_first_camera,
+    gauge_target,
+    weight,
+):
+    from ...embodied import Local
+
+    obj = core.Objective(dtype=dtype)
+    cam_fam = core.SE3Family(prob.num_cameras, name="cam")
+    pt_fam = core.Point3Family(prob.num_points, name="pt")
+
+    if fix_first_camera:
+        target = prob.poses[0] if gauge_target is None else gauge_target
+        obj.add(
+            Local(
+                cam_fam[0],
+                target,
+                core.ScaleCostWeight(jnp.asarray(1e4, dtype)),
+                name="gauge",
+            )
+        )
+
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_pt = np.asarray(prob.obs_pt)
+    # per-observation stacked aux: gathered on the host in one shot
+    focals_np = np.asarray(prob.focals)[obs_cam]  # (O, B, 1)
+    obs_img_np = np.asarray(prob.obs_img)  # (O, B, 2)
+    k1_np = np.asarray(prob.k1)[obs_cam]
+    k2_np = np.asarray(prob.k2)[obs_cam]
+    template = Reprojection(
+        cam_fam[0],
+        pt_fam[0],
+        focal_length=core.Variable(focals_np, name="obs_focal"),
+        image_feature_point=core.Variable(obs_img_np, name="obs_img"),
+        calib_k1=core.Variable(k1_np, name="obs_k1"),
+        calib_k2=core.Variable(k2_np, name="obs_k2"),
+        cost_weight=weight,
+        name="obs_template",
+    )
+    if robust_loss_cls is not None:
+        template = core.RobustCostFunction(
+            template,
+            robust_loss_cls,
+            core.Variable(
+                np.full((1, 1), log_loss_radius, np.asarray(focals_np).dtype),
+                name="obs_log_radius",
+            ),
+            name="obs_robust_template",
+        )
+    obj.add(
+        core.CostFamily(
+            template,
+            members=[(cam_fam, obs_cam), (pt_fam, obs_pt)],
+            name="obs",
+        )
+    )
+    return obj, cam_fam, pt_fam
+
+
+def ba_values(prob: BAProblem, use_families: bool = True) -> Dict[str, jnp.ndarray]:
+    if use_families:
+        # family layout: one (N, B, ...) array per family
+        return {"cam": np.asarray(prob.poses), "pt": np.asarray(prob.points)}
     poses = np.asarray(prob.poses)  # one transfer, host-side slicing
     points = np.asarray(prob.points)
     vals = {f"cam_{i}": poses[i] for i in range(prob.num_cameras)}
