@@ -106,7 +106,10 @@ def test_backward_modes_match_fd(mode):
     g = jax.grad(f)(theta)
     h = 1e-5
     fd = (f(theta + h) - f(theta - h)) / (2 * h)
-    tol = 1e-5 if mode != "dlm" else 5e-2
+    # round-3: central-difference DLM with cotangent normalization sits at
+    # FD-roundoff accuracy on this problem (measured 6e-12); same contract
+    # as the exact modes
+    tol = 1e-5
     np.testing.assert_allclose(g, fd, rtol=tol, atol=tol)
 
 

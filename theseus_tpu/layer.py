@@ -290,14 +290,23 @@ def _dlm_solve_fwd(layer, opts, epsilon, state, aux, maskf):
 
 
 def _dlm_solve_bwd(layer, opts, epsilon, res, g):
-    """Direct loss minimization: grad wrt aux =
-    (d/d aux) [F(x*, aux) - F(x*_perturbed, aux)] / epsilon, where the
-    perturbation solves one GN step of the objective augmented with
-    0.5*||sqrt(eps) x - grad/sqrt(eps)||^2-style terms (reference
-    theseus_layer.py:229-344). Here we use the equivalent formulation:
-    grad_aux = -(1/eps) * [dF/daux(x_eps, aux) - dF/daux(x*, aux)] with
-    x_eps = one GN step on F + eps * <g, x> from x*. User-frozen batch
-    elements (maskf) contribute no gradient."""
+    """Direct loss minimization (reference theseus_layer.py:229-344,
+    test_dlm_perturbation.py): gT dx*/dtheta is recovered by finite
+    differences of the aux-gradient of the error metric at GN-perturbed
+    solutions. Differences from the reference's one-sided scheme, for
+    accuracy (the round-2 audit measured 2.4e-1 rel err one-sided):
+
+    - CENTRAL differences: x_+/- = one detached-hessian GN step with the
+      rhs shifted by -/+ eps*u, so the FD truncation error is O(eps^2)
+      instead of O(eps).
+    - cotangent NORMALIZATION: the perturbation direction u is the
+      unit-normalized tangent cotangent per batch element, and the per-batch
+      norm is folded back as a weight on the error metric — the effective
+      step is eps regardless of the outer-loss scale (a raw eps*g step with
+      ||g|| ~ 1e-6 would vanish under f32, with ||g|| ~ 1e3 it would leave
+      the linearization's validity region).
+
+    User-frozen batch elements (maskf) contribute no gradient."""
     sol, aux, maskf = res
     opt = layer.optimizer
     co = layer.objective.compile()
@@ -306,24 +315,29 @@ def _dlm_solve_bwd(layer, opts, epsilon, res, g):
     sg_aux = jax.lax.stop_gradient(aux)
 
     # One detached-hessian GN step of the g-perturbed objective from x*:
-    # min 0.5||r(x)||^2 + eps <g, x>  =>  delta = (AtA)^-1 (Atb - eps*gt)
+    # min 0.5||r(x)||^2 + eps <u, x>  =>  delta = (AtA)^-1 (Atb - eps*u)
     ns = opt.normal_builder.build(sol, sg_aux, detach_hessian=True)
     # map ambient cotangent g (pytree like state) to tangent coordinates
     gt = _state_cotangent_to_tangent(co, sol, g)
     gt = gt * (1.0 - maskf)[:, None]  # frozen elements: no DLM perturbation
-    delta_pert, _ = ns.solve(0.0, False, rhs_shift=epsilon * gt)
-    delta_base, _ = ns.solve(0.0, False)
-    x_pert = co.retract(sol, delta_pert)
-    x_base = co.retract(sol, delta_base)
+    gnorm = jnp.linalg.norm(gt, axis=-1, keepdims=True)  # (B, 1)
+    u = gt / jnp.where(gnorm > 0, gnorm, 1.0)
+    delta_plus, _ = ns.solve(0.0, False, rhs_shift=epsilon * u)
+    delta_minus, _ = ns.solve(0.0, False, rhs_shift=-epsilon * u)
+    x_plus = co.retract(sol, delta_plus)
+    x_minus = co.retract(sol, delta_minus)
+
+    # per-batch weight ||g_b|| / (2 eps) recovers the un-normalized FD
+    w = gnorm[:, 0] / (2.0 * epsilon)
 
     def outer_err(aux_in, st):
-        return jnp.sum(co.error_metric(st, aux_in))
+        return jnp.sum(w * co.error_metric(st, aux_in))
 
-    g_pert = jax.grad(outer_err)(aux, x_pert)
-    g_base = jax.grad(outer_err)(aux, x_base)
-    # gT dx*/dtheta = lim_eps (grad_theta F(x_eps) - grad_theta F(x*)) / eps
+    g_plus = jax.grad(outer_err)(aux, x_plus)
+    g_minus = jax.grad(outer_err)(aux, x_minus)
+    # gT dx*/dtheta = lim_eps (grad_th F(x_+eps) - grad_th F(x_-eps)) / 2eps
     grad_aux = jax.tree_util.tree_map(
-        lambda a, b: (a - b) / epsilon, g_pert, g_base
+        lambda a, b: a - b, g_plus, g_minus
     )
     grad_state = jax.tree_util.tree_map(jnp.zeros_like, sol)
     return grad_state, grad_aux, jnp.zeros_like(maskf)
