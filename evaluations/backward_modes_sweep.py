@@ -78,7 +78,7 @@ def make_outer_loss(layer, co, obj, values, state, gt_state, batch,
     return loss
 
 
-def main(n_poses, batch, inner_iters):
+def main(n_poses, batch, inner_iters, append=False):
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
         dtype, h = jnp.float64, 1e-4
@@ -114,9 +114,21 @@ def main(n_poses, batch, inner_iters):
         print(f"{label:14s} grad {g:+.8f}  rel-err {rel:.2e}  "
               f"{ms:8.2f} ms/grad (compile {compile_s:.0f}s)", flush=True)
 
-    with open(OUT, "w") as f:
-        f.write(f"# Backward-mode sweep (PGO SE3 {n_poses} poses, batch "
-                f"{batch}, {inner_iters} inner GN iters)\n\n")
+    platform = jax.devices()[0].platform
+    mode_w = "a" if append else "w"
+    with open(OUT, mode_w) as f:
+        if mode_w == "w":
+            f.write(
+                "# Backward-mode sweep\n\n"
+                "NOTE on reading 'rel err vs FD': the FD baseline itself "
+                "carries O(h^2) + roundoff/h error at the run's dtype. At "
+                "f32 with h=5e-3 that floor is ~2e-2 — a ~2e-2 column there "
+                "measures FD noise, NOT mode error. The f64 tier (h=1e-4, "
+                "floor ~1e-8) is the one that isolates true mode error.\n"
+            )
+        f.write(f"\n## PGO SE3 {n_poses} poses, batch {batch}, "
+                f"{inner_iters} inner GN iters — {platform}, "
+                f"{jnp.dtype(dtype).name}, FD h={h:g}\n\n")
         f.write(f"FD reference gradient: {float(fd):+.8f}\n\n")
         f.write("| mode | gradient | rel err vs FD | ms/grad | compile (s) |\n")
         f.write("|---|---|---|---|---|\n")
@@ -130,5 +142,7 @@ if __name__ == "__main__":
     p.add_argument("--n-poses", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--inner-iters", type=int, default=10)
+    p.add_argument("--append", action="store_true",
+                   help="append a section instead of rewriting the file")
     a = p.parse_args()
-    main(a.n_poses, a.batch, a.inner_iters)
+    main(a.n_poses, a.batch, a.inner_iters, a.append)

@@ -49,7 +49,7 @@ def main():
     from theseus_tpu.sparse.assemble import assemble, build_block_pattern
     from theseus_tpu.sparse.cholesky import (
         NumericSchedule, factorize, solve_with_factor)
-    from theseus_tpu.sparse.structure import symbolic_factorize
+    from theseus_tpu.sparse.structure import symbolic_factor
 
     platform = jax.devices()[0].platform
     dt = jnp.float32
@@ -103,7 +103,7 @@ def main():
     devs["assemble_atb"] = _rel_dev(atb_on, atb_off)
 
     # 4/5. factorization + substitution on the same (damped) system
-    sym = symbolic_factorize(pattern, co)
+    sym = symbolic_factor(pattern.n_vars, pattern.pairs, pattern.d, "nd")
     sched = NumericSchedule(sym, pattern)
     from theseus_tpu.sparse.assemble import apply_block_damping
 

@@ -145,6 +145,29 @@ def set_schur_dense_budget(nbytes: int) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Supernodal dense-tail amalgamation for the generic sparse solver (the
+# BaSpaCho supernodal idea, reference extlib/baspacho_solver.h:88, recast
+# TPU-first): when the trailing columns of the elimination order are nearly
+# dense (bipartite BA-like graphs make the camera sub-block fully dense;
+# ND separators are cliques), they are merged into ONE dense trailing
+# supernode factored by a single batched POTRF on the MXU, instead of
+# per-column sweeps padded to the dense tail's huge umax/rmax.
+#   SPARSE_TAIL_DENSITY: merge while trailing-pattern density >= this
+#   SPARSE_TAIL_MAX_DIM: cap K*d of the dense tail
+#   SPARSE_TAIL_MIN_K:   don't bother below this many columns
+# ---------------------------------------------------------------------------
+SPARSE_DENSE_TAIL = True
+SPARSE_TAIL_DENSITY = 0.5
+SPARSE_TAIL_MAX_DIM = 2048
+SPARSE_TAIL_MIN_K = 4
+
+
+def set_sparse_dense_tail(enabled: bool) -> None:
+    global SPARSE_DENSE_TAIL
+    SPARSE_DENSE_TAIL = bool(enabled)
+
+
+# ---------------------------------------------------------------------------
 # Pallas fused-kernel gate: "auto" enables fused cost kernels on TPU backends
 # for float32; True/False force. (Fused kernels use a polynomial atan2 with
 # ~1e-7 f32 accuracy — bit-exactness with the pure-JAX path is not promised.)

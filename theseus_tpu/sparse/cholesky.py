@@ -85,12 +85,25 @@ class NumericSchedule:
     def __init__(self, sym: SymbolicFactor, pattern: BlockPattern):
         self.sym = sym
         self.pattern = pattern
-        n, rmax = sym.n, sym.rmax
+        n = sym.n
+        # dense trailing supernode (structure.py amalgamation): columns
+        # n_head..n-1 are factored by one batched POTRF; all per-column /
+        # per-level tables below cover the HEAD columns only, re-padded to
+        # head-local maxima (padding to the dense tail's umax/rmax is the
+        # 85x bipartite-graph cliff this design removes)
+        self.n_head = sym.tail_start if sym.tail_start >= 0 else n
+        self.tail_k = n - self.n_head
+        nh = self.n_head
+        rmax = max((len(sym.col_rows[j]) for j in range(nh)), default=1)
+        umax = max(
+            (int((sym.upd_k[j] >= 0).sum()) for j in range(nh)), default=1
+        )
+        umax = max(umax, 1)
 
-        a_src = np.zeros((n, rmax), dtype=np.int64)
-        a_tr = np.zeros((n, rmax), dtype=bool)
-        valid = np.zeros((n, rmax), dtype=bool)
-        for j in range(n):
+        a_src = np.zeros((nh, rmax), dtype=np.int64)
+        a_tr = np.zeros((nh, rmax), dtype=bool)
+        valid = np.zeros((nh, rmax), dtype=bool)
+        for j in range(nh):
             pj = int(sym.perm[j])
             for t, r in enumerate(sym.col_rows[j]):
                 pr = int(sym.perm[int(r)])
@@ -107,18 +120,22 @@ class NumericSchedule:
         self.a_src = np.asarray(a_src)
         self.a_tr = np.asarray(a_tr)
         self.valid = np.asarray(valid)
-        self.col_slots = np.asarray(sym.col_slots)
-        self.col_row_ids = np.asarray(np.maximum(sym.col_row_ids, 0))
-        self.row_valid = np.asarray(sym.col_row_ids >= 0)
-        self.upd_slots = np.asarray(sym.upd_slots)
-        self.upd_jk_slots = np.asarray(sym.upd_jk_slots)
-        self.upd_k = np.asarray(np.maximum(sym.upd_k, 0))
-        self.upd_valid = np.asarray(sym.upd_k >= 0)
-        self.diag_slots = np.asarray(sym.col_slots[:, 0])
+        self.col_slots = np.asarray(sym.col_slots[:nh, :rmax])
+        self.col_row_ids = np.asarray(
+            np.maximum(sym.col_row_ids[:nh, :rmax], 0)
+        )
+        self.row_valid = np.asarray(sym.col_row_ids[:nh, :rmax] >= 0)
+        self.upd_slots = np.asarray(sym.upd_slots[:nh, :umax, :rmax])
+        self.upd_jk_slots = np.asarray(sym.upd_jk_slots[:nh, :umax])
+        self.upd_k = np.asarray(np.maximum(sym.upd_k[:nh, :umax], 0))
+        self.upd_valid = np.asarray(sym.upd_k[:nh, :umax] >= 0)
+        self.diag_slots = np.asarray(sym.col_slots[:nh, 0])
         self.perm = np.asarray(sym.perm)
         self.iperm = np.asarray(sym.iperm)
+        self._build_tail_tables()
 
         # ---- per-level plan ------------------------------------------
+        # (levels computed in structure.py already exclude the dense tail)
         # level sweeps unroll one HLO segment per level (x3 with the two
         # substitution passes), so they only pay off when the tree is shallow
         # RELATIVE to n — otherwise the single-body scan compiles much faster
@@ -155,17 +172,188 @@ class NumericSchedule:
                 self.level_tables.append(t)
 
 
+    def _build_tail_tables(self):
+        """Static tables for the dense trailing supernode.
+
+        For tail column j (absolute cj = n_head + j):
+        - tail_col_slots (K, K): Lflat slot of block (row n_head+r, cj),
+          0 where r < j (strict upper of the supernode)
+        - tail_a_src/a_tr (K, K): AtA slot + transpose flag per block
+        - tail_upd_* (K, ue, ...): EXTERNAL left-looking updates, i.e. head
+          columns k < n_head with L[cj, k] in the pattern (internal tail
+          updates are subsumed by the dense POTRF)
+        """
+        if self.tail_k == 0:
+            self.tail_ue = 0
+            return
+        sym, pattern = self.sym, self.pattern
+        nh, K = self.n_head, self.tail_k
+        block_of = sym.block_of
+
+        ext = [
+            [int(k) for k in sym.upd_k[nh + j] if 0 <= k < nh]
+            for j in range(K)
+        ]
+        ue = max(1, max((len(e) for e in ext), default=1))
+        self.tail_ue = ue
+
+        col_slots = np.zeros((K, K), dtype=np.int64)
+        a_src = np.zeros((K, K), dtype=np.int64)
+        a_tr = np.zeros((K, K), dtype=bool)
+        valid = np.zeros((K, K), dtype=bool)
+        upd_slots = np.zeros((K, ue, K), dtype=np.int64)
+        upd_jk = np.zeros((K, ue), dtype=np.int64)
+        upd_k = np.zeros((K, ue), dtype=np.int64)
+        upd_valid = np.zeros((K, ue), dtype=bool)
+        for j in range(K):
+            cj = nh + j
+            pj = int(sym.perm[cj])
+            for r in range(j, K):
+                cr = nh + r
+                col_slots[j, r] = block_of[(cr, cj)]
+                valid[j, r] = True
+                pr = int(sym.perm[cr])
+                lo, hi = (pr, pj) if pr <= pj else (pj, pr)
+                s = pattern.pair_slot.get((lo, hi), 0)
+                a_src[j, r] = s
+                a_tr[j, r] = pr > pj and s != 0
+            for u, k in enumerate(ext[j]):
+                upd_jk[j, u] = block_of[(cj, k)]
+                upd_k[j, u] = k
+                upd_valid[j, u] = True
+                for r in range(j, K):
+                    upd_slots[j, u, r] = block_of.get((nh + r, k), 0)
+
+        self.tail_col_slots = col_slots
+        self.tail_a_src = a_src
+        self.tail_a_tr = a_tr
+        self.tail_valid = valid
+        self.tail_upd_slots = upd_slots
+        self.tail_upd_jk = upd_jk
+        self.tail_upd_k = upd_k
+        self.tail_upd_valid = upd_valid
+
+
+def _tail_dense_blocks_to_mat(C, valid, K, d):
+    """C (K_col, K_row, B, d, d) masked lower blocks -> dense (B, K*d, K*d)
+    lower-triangular-by-blocks matrix (strict upper zero)."""
+    bsz = C.shape[2]
+    C = jnp.where(valid[:, :, None, None, None], C, 0.0)
+    # (col j, row r, B, d_i, d_m) -> (B, r, d_i, j, d_m) -> (B, Kd, Kd)
+    return jnp.moveaxis(C, 2, 0).transpose(0, 2, 3, 1, 4).reshape(
+        bsz, K * d, K * d
+    )
+
+
+def _tail_mat_to_blocks(M, K, d):
+    """dense (B, K*d, K*d) -> blocks (K_col, K_row, B, d, d)."""
+    bsz = M.shape[0]
+    # index [b, r, i, j, m] -> out[j, r, b, i, m]
+    return M.reshape(bsz, K, d, K, d).transpose(3, 1, 0, 2, 4)
+
+
+def _tail_assemble_C(sched: NumericSchedule, ata_flat, lflat):
+    """Per-tail-column blocks C = A - external updates, (K, K, B, d, d)."""
+    col_a = ata_flat[sched.tail_a_src]  # (K, K, B, d, d)
+    col_a = jnp.where(
+        sched.tail_a_tr[:, :, None, None, None],
+        jnp.swapaxes(col_a, -1, -2),
+        col_a,
+    )
+    ks = lflat[sched.tail_upd_slots]  # (K, ue, K, B, d, d)
+    kj = lflat[sched.tail_upd_jk]  # (K, ue, B, d, d)
+    kj = jnp.where(
+        sched.tail_upd_valid[:, :, None, None, None], kj, 0.0
+    )
+    upd = jnp.einsum("curbik,cubjk->crbij", ks, kj)
+    return col_a - upd
+
+
+def _tail_dense_eliminate(sched: NumericSchedule, ata_flat, lflat):
+    """Factor the trailing dense supernode with ONE batched POTRF and
+    scatter the blocks back into Lflat (so all substitution paths read a
+    uniform layout)."""
+    K = sched.tail_k
+    d = ata_flat.shape[-1]
+    C = _tail_assemble_C(sched, ata_flat, lflat)
+    # symmetrize: strict-lower + its transpose + symmetrized diagonal
+    strict = sched.tail_valid & ~np.eye(K, dtype=bool)
+    Tl = _tail_dense_blocks_to_mat(C, strict, K, d)
+    diag = 0.5 * (
+        C[np.arange(K), np.arange(K)]
+        + jnp.swapaxes(C[np.arange(K), np.arange(K)], -1, -2)
+    )  # (K, B, d, d)
+    bsz = C.shape[2]
+    D = jnp.zeros((bsz, K, d, K, d), dtype=C.dtype)
+    D = D.at[:, np.arange(K), :, np.arange(K), :].set(
+        jnp.moveaxis(diag, 1, 0)
+    ).reshape(bsz, K * d, K * d)
+    T = Tl + jnp.swapaxes(Tl, -1, -2) + D
+    Lt = jnp.linalg.cholesky(T)
+    blocks = _tail_mat_to_blocks(Lt, K, d)
+    blocks = jnp.where(
+        sched.tail_valid[:, :, None, None, None], blocks, 0.0
+    )
+    return lflat.at[sched.tail_col_slots].set(blocks)
+
+
+def _tail_dense_L(sched: NumericSchedule, lflat):
+    """Reconstruct the dense (B, K*d, K*d) tail factor from Lflat blocks."""
+    K = sched.tail_k
+    d = lflat.shape[-1]
+    blocks = lflat[sched.tail_col_slots]  # (K, K, B, d, d)
+    return _tail_dense_blocks_to_mat(blocks, sched.tail_valid, K, d)
+
+
+def _tail_fwd_solve(sched: NumericSchedule, lflat, y, b_perm):
+    """Fill y for tail columns: dense lower solve of the supernode after
+    subtracting external head contributions."""
+    K = sched.tail_k
+    d = b_perm.shape[-1]
+    nh = sched.n_head
+    ljk = lflat[sched.tail_upd_jk]  # (K, ue, B, d, d)
+    yk = y[sched.tail_upd_k]  # (K, ue, B, d)
+    yk = jnp.where(sched.tail_upd_valid[:, :, None, None], yk, 0.0)
+    acc = b_perm[nh:] - jnp.einsum("kubij,kubj->kbi", ljk, yk)  # (K, B, d)
+    bsz = acc.shape[1]
+    rhs = jnp.moveaxis(acc, 0, 1).reshape(bsz, K * d)
+    Ld = _tail_dense_L(sched, lflat)
+    yt = jsl.solve_triangular(Ld, rhs[..., None], lower=True)[..., 0]
+    yt_blocks = jnp.moveaxis(yt.reshape(bsz, K, d), 1, 0)
+    return y.at[nh:].set(yt_blocks)
+
+
+def _tail_bwd_solve(sched: NumericSchedule, lflat, y):
+    """x for tail columns: dense upper solve L^T x = y_tail (the tail is
+    eliminated last, so no rows below contribute)."""
+    K = sched.tail_k
+    d = y.shape[-1]
+    nh = sched.n_head
+    bsz = y.shape[1]
+    rhs = jnp.moveaxis(y[nh:], 0, 1).reshape(bsz, K * d)
+    Ld = _tail_dense_L(sched, lflat)
+    xt = jsl.solve_triangular(
+        jnp.swapaxes(Ld, -1, -2), rhs[..., None], lower=False
+    )[..., 0]
+    return jnp.moveaxis(xt.reshape(bsz, K, d), 1, 0)
+
+
 def factorize(sched: NumericSchedule, ata_flat):
     """ata_flat (n_slots, B, d, d) -> Lflat (nnz_l+1, B, d, d)."""
     if sched.use_levels:
         if _pallas_level_ok(sched, ata_flat):
             from .. import config as _config
 
-            return _factorize_levels_pallas(
+            lflat = _factorize_levels_pallas(
                 sched, ata_flat, interpret=_config._PALLAS_INTERPRET
             )
-        return _factorize_levels(sched, ata_flat)
-    return _factorize_scan(sched, ata_flat)
+        else:
+            lflat = _factorize_levels(sched, ata_flat)
+    else:
+        lflat = _factorize_scan(sched, ata_flat)
+    if sched.tail_k:
+        lflat = _tail_dense_eliminate(sched, ata_flat, lflat)
+    return lflat
 
 
 def _pallas_level_ok(sched: NumericSchedule, ata_flat) -> bool:
@@ -305,7 +493,8 @@ def _solve_levels_pallas(sched: NumericSchedule, lflat, atb,
     from . import pallas_factorize as pf
 
     d = atb.shape[-1]
-    b_soa = jnp.moveaxis(atb[sched.perm], 1, -1)  # (n, d, B)
+    b_perm = atb[sched.perm]  # (n, B, d)
+    b_soa = jnp.moveaxis(b_perm, 1, -1)  # (n, d, B)
     lsoa = pf.aos_to_soa(lflat)  # (nnz_l+1, dd, B)
 
     y = jnp.zeros_like(b_soa)
@@ -320,6 +509,14 @@ def _solve_levels_pallas(sched: NumericSchedule, lflat, atb,
         y = y.at[t["cols"]].set(yj)
 
     x = jnp.zeros_like(y)
+    if sched.tail_k:
+        # dense supernode: fwd finish + bwd start, in AoS (lflat is AoS here)
+        y_aos = _tail_fwd_solve(
+            sched, lflat, jnp.moveaxis(y, -1, 1), b_perm
+        )
+        y = jnp.moveaxis(y_aos, 1, -1)
+        xt = _tail_bwd_solve(sched, lflat, y_aos)  # (K, B, d)
+        x = x.at[sched.n_head :].set(jnp.moveaxis(xt, 1, -1))
     for t in reversed(sched.level_tables):
         lcol = lsoa[t["col_slots"]]  # (C, rl, dd, B)
         xr = x[t["row_ids"]]  # (C, rl, d, B)
@@ -335,6 +532,8 @@ def _solve_levels_pallas(sched: NumericSchedule, lflat, atb,
 def _bwd_levels(sched: NumericSchedule, lflat, y):
     """L^T x = y in internal (permuted) order; per-level sweeps."""
     x = jnp.zeros_like(y)
+    if sched.tail_k:
+        x = x.at[sched.n_head :].set(_tail_bwd_solve(sched, lflat, y))
     for t in reversed(sched.level_tables):
         lcol = lflat[t["col_slots"]]  # (C, rl, B, d, d)
         xr = x[t["row_ids"]]  # (C, rl, B, d)
@@ -359,18 +558,19 @@ def _solve_levels(sched: NumericSchedule, lflat, atb):
         acc = b_perm[t["cols"]] - jnp.einsum("cubij,cubj->cbi", ljk, yk)
         yj = _fwd_sub(lflat[t["diag_slots"]], acc, acc.shape[-1])
         y = y.at[t["cols"]].set(yj)
+    if sched.tail_k:
+        y = _tail_fwd_solve(sched, lflat, y, b_perm)
 
     return _bwd_levels(sched, lflat, y)[sched.iperm]
 
 
 def _solve_scan(sched: NumericSchedule, lflat, atb):
-    sym = sched.sym
     b_perm = atb[sched.perm]  # (n, B, d)
 
-    # forward: L y = b
+    # forward: L y = b (head columns sequentially, then the dense tail)
     y0 = jnp.zeros_like(b_perm)
     fwd_xs = (
-        jnp.arange(sym.n),
+        jnp.arange(sched.n_head),
         jnp.asarray(sched.upd_jk_slots),
         jnp.asarray(sched.upd_k),
         jnp.asarray(sched.upd_valid),
@@ -387,16 +587,20 @@ def _solve_scan(sched: NumericSchedule, lflat, atb):
         return y.at[j].set(yj), None
 
     y, _ = jax.lax.scan(fwd_body, y0, fwd_xs)
+    if sched.tail_k:
+        y = _tail_fwd_solve(sched, lflat, y, b_perm)
 
     return _bwd_scan(sched, lflat, y)[sched.iperm]
 
 
 def _bwd_scan(sched: NumericSchedule, lflat, y):
-    """L^T x = y in internal (permuted) order; sequential scan."""
-    sym = sched.sym
+    """L^T x = y in internal (permuted) order; dense tail first, then a
+    sequential scan over head columns."""
     x0 = jnp.zeros_like(y)
+    if sched.tail_k:
+        x0 = x0.at[sched.n_head :].set(_tail_bwd_solve(sched, lflat, y))
     bwd_xs = (
-        jnp.arange(sym.n)[::-1],
+        jnp.arange(sched.n_head)[::-1],
         jnp.asarray(sched.col_slots[::-1]),
         jnp.asarray(sched.col_row_ids[::-1]),
         jnp.asarray(sched.row_valid[::-1]),

@@ -137,6 +137,38 @@ class SymbolicFactor:
     block_of: Dict[Tuple[int, int], int]  # (row, col) -> slot (lower tri)
     etree_parent: np.ndarray = None  # (n,) parent column or -1
     levels: list = None  # list of np arrays: columns per elimination level
+    # supernodal dense tail (config.SPARSE_DENSE_TAIL): columns
+    # tail_start..n-1 form one dense trailing supernode — their col_rows are
+    # amalgamated to the full trailing set and the numeric layer factors
+    # them with ONE batched dense POTRF. levels cover head columns only.
+    tail_start: int = -1  # == n when no tail
+
+
+def _choose_tail(n: int, col_rows, d: int) -> int:
+    """Size of the trailing dense supernode: walk from the last column while
+    the trailing-submatrix block pattern stays dense enough. All rows of
+    column j satisfy r >= j, so the trailing k columns' patterns lie fully
+    inside the trailing k x k submatrix."""
+    from .. import config as _config
+
+    if not _config.SPARSE_DENSE_TAIL:
+        return 0
+    density_min = _config.SPARSE_TAIL_DENSITY
+    max_dim = _config.SPARSE_TAIL_MAX_DIM
+    min_k = _config.SPARSE_TAIL_MIN_K
+    best = 0
+    nnz = 0
+    for k in range(1, n + 1):
+        j = n - k
+        if k * d > max_dim:
+            break
+        nnz += len(col_rows[j])
+        density = nnz / (k * (k + 1) / 2)
+        if density < density_min:
+            break
+        if k >= min_k:
+            best = k
+    return best
 
 
 def symbolic_factor(
@@ -211,6 +243,15 @@ def symbolic_factor(
             rows = np.array([j] + sorted(pattern[j]), dtype=np.int64)
             col_rows.append(rows)
 
+    # supernodal amalgamation: force the trailing dense supernode's columns
+    # to full trailing patterns (structural fill is the price of the single
+    # dense POTRF; on near-dense tails it is tiny)
+    tail_k = _choose_tail(n, col_rows, d)
+    tail_start = n - tail_k
+    if tail_k >= 2:
+        for j in range(tail_start, n):
+            col_rows[j] = np.arange(j, n, dtype=np.int64)
+
     # flat slot ids: slot 0 reserved as sentinel/scratch
     block_of: Dict[Tuple[int, int], int] = {}
     slot = 1
@@ -264,7 +305,14 @@ def symbolic_factor(
         if p >= 0:
             level_of[p] = max(level_of[p], level_of[j] + 1)
     n_levels = int(level_of.max()) + 1 if n else 0
-    levels = [np.where(level_of == l)[0] for l in range(n_levels)]
+    # levels drive the batched per-level sweeps; the dense tail is handled
+    # by one POTRF instead, so its columns are excluded
+    levels = [
+        lv
+        for l in range(n_levels)
+        for lv in [np.where((level_of == l) & (np.arange(n) < tail_start))[0]]
+        if len(lv)
+    ]
 
     return SymbolicFactor(
         n=n,
@@ -283,4 +331,5 @@ def symbolic_factor(
         block_of=block_of,
         etree_parent=etree_parent,
         levels=levels,
+        tail_start=tail_start,
     )
