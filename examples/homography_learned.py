@@ -1,0 +1,261 @@
+"""Learned-feature homography estimation at reference depth.
+
+Re-design of the reference's flagship differentiable-layer experiment
+(examples/homography_estimation.py:333, 522 lines): a small CNN feature
+extractor is trained THROUGH the TheseusLayer so that feature-metric LM
+alignment recovers the ground-truth homography on photometrically-distorted
+image pairs. The data pipeline is the easyaug one (RandomGeoAug perspective
+warps give the GT homography; RandomPhotoAug's 9-op photometric pipeline
+makes raw-intensity alignment unreliable, which is what the learned features
+must overcome — reference homography_estimation.py:103-131).
+
+The inner residual is an AutoDiffCostFunction whose `autograd_mode`
+(fwd/rev) is the ablation knob — the analog of the reference's
+AutogradMode {dense, loop_batch, vmap} ablation
+(evaluations/autodiff_cost_function_ablation.sh).
+
+Run (CPU ok):
+    python examples/homography_learned.py [--steps 30] [--batch 4]
+        [--autograd-mode fwd|rev] [--ablate]
+
+--ablate runs both autograd modes and appends timing + accuracy to
+evaluations/results_homography.md.
+"""
+
+import argparse
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import os
+
+if "--tpu" not in sys.argv:
+    # force local CPU (the axon session env pins a remote-TPU platform;
+    # per-op dispatch there makes small examples pathologically slow)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import theseus_tpu as tt
+from theseus_tpu.utils.examples.easyaug import (
+    GeoAugParam,
+    RandomGeoAug,
+    RandomPhotoAug,
+)
+from theseus_tpu.utils.warp import (
+    bilinear_sample,
+    homography_transform,
+    image_grid,
+)
+
+H, W = 48, 64
+CHANNELS = 4
+
+
+def smooth_images(key, b, h, w, octaves=4):
+    img = jnp.zeros((b, h, w))
+    for o in range(octaves):
+        k1, key = jax.random.split(key)
+        hs, ws = max(2, h >> (octaves - o)), max(2, w >> (octaves - o))
+        noise = jax.random.uniform(k1, (b, hs, ws))
+        img = img + jax.image.resize(noise, (b, h, w), "bilinear") / (o + 1)
+    return img / jnp.max(img, axis=(1, 2), keepdims=True)
+
+
+def init_cnn(key, channels=None):
+    channels = CHANNELS if channels is None else channels
+    k1, k2 = jax.random.split(key)
+    s1, s2 = 0.5, 0.5
+    return {
+        "w1": s1 * jax.random.normal(k1, (3, 3, 1, 8)),
+        "b1": jnp.zeros((8,)),
+        "w2": s2 * jax.random.normal(k2, (3, 3, 8, channels)),
+        "b2": jnp.zeros((channels,)),
+    }
+
+
+def cnn_features(params, imgs):
+    """(B, H, W) -> (B, H, W, C) feature maps; residual connection on the
+    raw intensity keeps the identity solution reachable at init."""
+    x = imgs[..., None]  # NHWC
+    dn = jax.lax.conv_dimension_numbers(x.shape, (3, 3, 1, 8), ("NHWC", "HWIO", "NHWC"))
+    y = jax.lax.conv_general_dilated(x, params["w1"], (1, 1), "SAME", dimension_numbers=dn)
+    y = jax.nn.relu(y + params["b1"])
+    dn2 = jax.lax.conv_dimension_numbers(
+        y.shape, params["w2"].shape, ("NHWC", "HWIO", "NHWC")
+    )
+    z = jax.lax.conv_general_dilated(y, params["w2"], (1, 1), "SAME", dimension_numbers=dn2)
+    z = z + params["b2"] + x  # identity skip on channel 0 magnitude
+    return z / jnp.sqrt(1.0 * z.shape[-1])
+
+
+def make_pairs(key, batch):
+    """easyaug pipeline: img2 = geo-warp of img1, both photo-distorted.
+    Returns (img1, img2, h8_true (B, 8))."""
+    k0, k1, k2, k3 = jax.random.split(key, 4)
+    img1 = smooth_images(k0, batch, H, W)
+    geo = RandomGeoAug(
+        scale_param=GeoAugParam(0.97, 1.03),
+        rotate_param=GeoAugParam(-0.08, 0.08),
+        translate_x_param=GeoAugParam(-0.03, 0.03),
+        translate_y_param=GeoAugParam(-0.03, 0.03),
+        perspective_param=GeoAugParam(-0.02, 0.02),
+    )
+    img2, mats = geo.forward(k1, img1, return_transform=True)
+    photo = RandomPhotoAug()
+    photo.set_all_probs(0.3)
+    photo.set_all_mags(0.3)
+    img1 = photo.forward(k2, img1)
+    img2 = photo.forward(k3, img2)
+    h8_true = mats.reshape(batch, 9)[:, :8]
+    return img1, img2, h8_true
+
+
+# interior patch, subsampled for the residual; stride trades accuracy for
+# (compile) cost — the smoke tier uses a coarse stride
+_patch_full = image_grid(H - 12, W - 12) + 6.0
+PATCH = _patch_full[::4]
+NP_PATCH = PATCH.shape[0]
+
+
+def set_patch_stride(stride: int):
+    global PATCH, NP_PATCH
+    PATCH = _patch_full[::stride]
+    NP_PATCH = PATCH.shape[0]
+
+
+def build_layer(autograd_mode, max_iterations=12):
+    h8 = tt.Vector(8, name="h8")
+    f1 = tt.Variable(jnp.zeros((1, H, W, CHANNELS)), name="feat1")
+    f2p = tt.Variable(jnp.zeros((1, NP_PATCH, CHANNELS)), name="feat2_patch")
+
+    def err_fn(optim, aux):
+        (h8,) = optim
+        feat1, ftgt = aux  # (H, W, C), (Np, C)
+        warped = bilinear_sample(feat1, homography_transform(h8, PATCH))
+        return (warped - ftgt).reshape(-1)
+
+    obj = tt.Objective()
+    obj.add(
+        tt.AutoDiffCostFunction(
+            [h8], NP_PATCH * CHANNELS, err_fn, aux_vars=[f1, f2p],
+            name="featmetric", autograd_mode=autograd_mode,
+        )
+    )
+    opt = tt.LevenbergMarquardt(
+        obj, max_iterations=max_iterations, adaptive_damping=True
+    )
+    return tt.TheseusLayer(opt), obj
+
+
+CORNERS = jnp.asarray(
+    [[6.0, 6.0], [W - 7.0, 6.0], [6.0, H - 7.0], [W - 7.0, H - 7.0]]
+)
+
+
+def corner_error(h8_est, h8_true):
+    """Mean corner distance (pixels) between the two homographies."""
+    pe = homography_transform(h8_est[:, None, :], CORNERS[None])
+    pt = homography_transform(h8_true[:, None, :], CORNERS[None])
+    return jnp.mean(jnp.linalg.norm(pe - pt, axis=-1))
+
+
+def make_loss(layer, obj, batch):
+    co = obj.compile()
+    opts = layer.optimizer.opts
+    init = jnp.tile(
+        jnp.asarray([[1.0, 0, 0, 0, 1.0, 0, 0, 0]]), (batch, 1)
+    )
+
+    def loss_fn(params, img1, img2, h8_true):
+        feat1 = cnn_features(params, img1)  # (B, H, W, C)
+        feat2 = cnn_features(params, img2)
+        f2p = jax.vmap(lambda f: bilinear_sample(f, PATCH))(feat2)
+        values = {"h8": init, "feat1": feat1, "feat2_patch": f2p}
+        state = co.pack(values, batch)
+        aux = co.build_aux(values, batch)
+        carry = layer.solve_state(state, aux, "truncated", opts, 2)
+        h8_est = co.unpack(carry["state"])["h8"]
+        return corner_error(h8_est, h8_true)
+
+    return loss_fn
+
+
+def train(steps=30, batch=4, autograd_mode="fwd", lr=2e-3, seed=0,
+          verbose=True):
+    import optax
+
+    layer, obj = build_layer(autograd_mode)
+    loss_fn = make_loss(layer, obj, batch)
+    params = init_cnn(jax.random.PRNGKey(seed + 1))
+    tx = optax.adam(lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        img1, img2, h8_true = make_pairs(key, batch)
+        loss, g = jax.value_and_grad(loss_fn)(params, img1, img2, h8_true)
+        updates, opt_state = tx.update(g, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, k)
+        losses.append(float(loss))
+        if verbose and (i % 5 == 0 or i == steps - 1):
+            print(f"step {i:3d}  corner err {losses[-1]:.4f} px", flush=True)
+    wall = time.time() - t0
+    return params, losses, wall
+
+
+def main():
+    global CHANNELS
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--autograd-mode", default="fwd", choices=["fwd", "rev"])
+    p.add_argument("--ablate", action="store_true")
+    p.add_argument("--tpu", action="store_true")
+    p.add_argument("--patch-stride", type=int, default=4)
+    p.add_argument("--channels", type=int, default=CHANNELS)
+    a = p.parse_args()
+    set_patch_stride(a.patch_stride)
+    CHANNELS = a.channels
+
+    if a.ablate:
+        out = pathlib.Path(__file__).resolve().parents[1] / "evaluations" / "results_homography.md"
+        rows = []
+        for mode in ("fwd", "rev"):
+            params, losses, wall = train(a.steps, a.batch, mode, verbose=False)
+            rows.append((mode, losses[0], min(losses), wall / a.steps))
+            print(f"{mode}: first {losses[0]:.4f} best {min(losses):.4f} "
+                  f"{wall / a.steps * 1e3:.0f} ms/step")
+        with open(out, "w") as f:
+            f.write("# Learned-feature homography (easyaug pairs, "
+                    f"{a.steps} outer steps, batch {a.batch}, "
+                    f"{NP_PATCH}x{CHANNELS}-dim residual, 8-dof)\n\n")
+            f.write("autograd_mode ablation (reference AutogradMode "
+                    "ablation analog):\n\n")
+            f.write("| autograd_mode | first corner err (px) | best | s/outer-step |\n")
+            f.write("|---|---|---|---|\n")
+            for m, first, best, t in rows:
+                f.write(f"| {m} | {first:.4f} | {best:.4f} | {t:.2f} |\n")
+        print(f"wrote {out}")
+        return
+
+    params, losses, wall = train(a.steps, a.batch, a.autograd_mode)
+    print(f"corner err: first {losses[0]:.4f} -> best {min(losses):.4f} px "
+          f"({wall / a.steps * 1e3:.0f} ms/step)")
+    assert min(losses) < losses[0], "training must reduce the corner error"
+
+
+if __name__ == "__main__":
+    main()

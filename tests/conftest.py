@@ -35,6 +35,9 @@ import pytest  # noqa: E402
 # `pytest -m "not slow"` gate stays fast. Explicit @pytest.mark.slow in test
 # files composes with this list.
 _SLOW_NODEIDS = {
+    "tests/test_tutorials_smoke.py::test_tutorial[02_differentiating_theseus_layer.py]",
+    "tests/test_tutorials_smoke.py::test_tutorial[04_motion_planning.py]",
+    "tests/test_tutorials_smoke.py::test_tutorial[05_differentiable_motion_planning.py]",
     "tests/optim/test_pcg.py::test_pcg_end_to_end_and_gradients",
     "tests/optim/test_pallas_kernels.py::test_fused_path_gradients",
     "tests/parallel/test_sharding.py::test_shard_map_fused_kernel_parity",

@@ -21,6 +21,10 @@ def random_graph(n, extra, seed):
 @pytest.mark.parametrize("mode", ["natural", "amd", "nd"])
 @pytest.mark.parametrize("n,extra,seed", [(40, 25, 0), (80, 10, 1), (17, 40, 2)])
 def test_native_matches_python(mode, n, extra, seed):
+    # compare RAW fill: the dense-tail amalgamation (structure.py) adds
+    # structural fill on top of it in both paths, so disable it here
+    from theseus_tpu import config as cfg
+
     pairs = random_graph(n, extra, seed)
     nat = tn.native_symbolic(n, pairs, mode)
     if nat is None:
@@ -29,10 +33,13 @@ def test_native_matches_python(mode, n, extra, seed):
 
     orig = tn.native_symbolic
     tn.native_symbolic = lambda *a, **k: None
+    old_tail = cfg.SPARSE_DENSE_TAIL
+    cfg.set_sparse_dense_tail(False)
     try:
         sym = st.symbolic_factor(n, pairs, 3, ordering=mode)
     finally:
         tn.native_symbolic = orig
+        cfg.set_sparse_dense_tail(old_tail)
 
     np.testing.assert_array_equal(perm_n, sym.perm)
     for j in range(n):

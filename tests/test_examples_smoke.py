@@ -34,6 +34,9 @@ SLOW = [
     ("pose_graph_cube.py", ["--n-per-edge", "2"]),
     ("se2_inverse.py", ["--iters", "50"]),
     ("tactile_pose_estimation.py", ["--time-steps", "4", "--outer-steps", "1"]),
+    ("homography_learned.py", ["--steps", "2", "--batch", "2",
+                               "--patch-stride", "12", "--channels", "2"]),
+    ("motion_planning_learned.py", ["--steps", "2", "--batch", "2"]),
 ]
 
 

@@ -156,10 +156,15 @@ def set_schur_dense_budget(nbytes: int) -> None:
 #   SPARSE_TAIL_MAX_DIM: cap K*d of the dense tail
 #   SPARSE_TAIL_MIN_K:   don't bother below this many columns
 # ---------------------------------------------------------------------------
+#   Thresholds measured on TPU v5e (BENCH_SWEEP.md): a K=9 tail on PGO
+#   REPLACED fast Pallas level sweeps with dense triangular machinery and
+#   regressed 64x16 from 0.29 to 0.68 ms/iter, while the K>=57 tails on
+#   BA-like graphs win 14x — so small/sparse tails must not trigger.
+#   (PGO trailing density: 0.58 @ k=8, 0.33 @ k=16; BA: >=0.92 throughout.)
 SPARSE_DENSE_TAIL = True
-SPARSE_TAIL_DENSITY = 0.5
+SPARSE_TAIL_DENSITY = 0.6
 SPARSE_TAIL_MAX_DIM = 2048
-SPARSE_TAIL_MIN_K = 4
+SPARSE_TAIL_MIN_K = 16
 
 
 def set_sparse_dense_tail(enabled: bool) -> None:

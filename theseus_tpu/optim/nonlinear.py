@@ -94,7 +94,7 @@ class NonlinearLeastSquares:
         objective,
         linear_solver=None,
         linearization: str = "dense",
-        ordering: str = "nd",
+        ordering: str = "auto",
         max_iterations: int = 20,
         step_size: float = 1.0,
         abs_err_tolerance: float = 1e-10,

@@ -96,7 +96,7 @@ class SparseNormal:
 class SparseNormalBuilder:
     """Owns the static symbolic state (pattern, schedule, flatten tables)."""
 
-    def __init__(self, co: CompiledObjective, ordering: str = "nd",
+    def __init__(self, co: CompiledObjective, ordering: str = "auto",
                  damping_eps: float = 1e-8, solver: str = "direct",
                  pcg_iters: int = 100, pcg_tol: float = 1e-10):
         self.co = co
@@ -115,9 +115,21 @@ class SparseNormalBuilder:
             from .ordering import resolve_ordering
 
             ordering = resolve_ordering(ordering, co.var_names)
-            self.sym = symbolic_factor(
-                self.pattern.n_vars, self.pattern.pairs, self.pattern.d, ordering
-            )
+            if isinstance(ordering, str) and ordering == "auto":
+                # rank nd (shallow levels) vs amd (min fill) by the modeled
+                # device cost — bipartite/BA graphs blow up under nd
+                # (92%-dense fill measured at 16x200 BA) while chain/mesh
+                # PGO graphs are dispatch-bound under amd's deep etree
+                from ..sparse.structure import symbolic_factor_auto
+
+                self.sym = symbolic_factor_auto(
+                    self.pattern.n_vars, self.pattern.pairs, self.pattern.d
+                )
+            else:
+                self.sym = symbolic_factor(
+                    self.pattern.n_vars, self.pattern.pairs, self.pattern.d,
+                    ordering,
+                )
             self.sched = NumericSchedule(self.sym, self.pattern)
 
         # flatten tables: (n, B, d) <-> (B, total_dof)

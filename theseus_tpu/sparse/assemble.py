@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Dict, List, Set, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -142,8 +143,12 @@ def _pad_jac(jac, d):
 def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
     """blocks = co.linearize_blocks(state, aux). Returns
     (ata_flat (n_slots, B, d, d), atb (n_vars, B, d)); ata slot 0 is zeros;
-    padding dims carry identity diagonals so factorization is well-posed."""
-    d = pattern.d
+    padding dims carry identity diagonals so factorization is well-posed.
+
+    Differentiable w.r.t. blocks: the Pallas fast path carries a custom_vjp
+    whose backward is the (bilinear, so exactly-transposable) XLA assembly —
+    pallas_call has no JVP rule, and outer-loop gradients flow through Atb
+    (implicit mode) or the whole assembly (unroll/truncated)."""
     some_err = blocks[0][1]
     bsz = some_err.shape[1]
     dtype = some_err.dtype
@@ -154,7 +159,31 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
         from .pallas_assemble import assemble_fits, assemble_pallas
 
         if assemble_fits(pattern, blocks, bsz):
-            return assemble_pallas(pattern, co, blocks)
+
+            @jax.custom_vjp
+            def _asm(blocks):
+                return assemble_pallas(pattern, co, blocks)
+
+            def _asm_fwd(blocks):
+                return assemble_pallas(pattern, co, blocks), blocks
+
+            def _asm_bwd(res, ct):
+                _, vjp = jax.vjp(
+                    lambda b: _assemble_xla(pattern, co, b), res
+                )
+                return vjp(ct)
+
+            _asm.defvjp(_asm_fwd, _asm_bwd)
+            return _asm(blocks)
+
+    return _assemble_xla(pattern, co, blocks)
+
+
+def _assemble_xla(pattern: BlockPattern, co: CompiledObjective, blocks):
+    d = pattern.d
+    some_err = blocks[0][1]
+    bsz = some_err.shape[1]
+    dtype = some_err.dtype
 
     ata = jnp.zeros((pattern.n_slots, bsz, d, d), dtype=dtype)
     atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=dtype)

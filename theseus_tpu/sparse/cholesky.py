@@ -285,9 +285,10 @@ def _tail_dense_eliminate(sched: NumericSchedule, ata_flat, lflat):
     )  # (K, B, d, d)
     bsz = C.shape[2]
     D = jnp.zeros((bsz, K, d, K, d), dtype=C.dtype)
-    D = D.at[:, np.arange(K), :, np.arange(K), :].set(
-        jnp.moveaxis(diag, 1, 0)
-    ).reshape(bsz, K * d, K * d)
+    # advanced indices split by slices land in FRONT axes: values (K, B, d, d)
+    D = D.at[:, np.arange(K), :, np.arange(K), :].set(diag).reshape(
+        bsz, K * d, K * d
+    )
     T = Tl + jnp.swapaxes(Tl, -1, -2) + D
     Lt = jnp.linalg.cholesky(T)
     blocks = _tail_mat_to_blocks(Lt, K, d)

@@ -171,6 +171,46 @@ def _choose_tail(n: int, col_rows, d: int) -> int:
     return best
 
 
+def _score_symbolic(sym: "SymbolicFactor") -> float:
+    """Estimated device cost in block-op units for ranking orderings.
+
+    Models the TPU execution reality (BENCH_SWEEP.md MFU analysis): each
+    level sweep pays a fixed dispatch cost plus padded einsum volume
+    C_l*(ul*rl + rl); the dense tail pays K^3/3. AMD minimizes fill but
+    makes chain-like graphs level-deep (dispatch-bound); ND keeps levels
+    log-shallow but produces catastrophic fill on bipartite (BA-like)
+    graphs — the score picks the right one per graph."""
+    DISPATCH = 2000.0
+    score = 0.0
+    for cols in sym.levels:
+        rl = max(len(sym.col_rows[int(j)]) for j in cols)
+        ul = max(
+            1, max(int((sym.upd_k[int(j)] >= 0).sum()) for j in cols)
+        )
+        score += len(cols) * (ul * rl + rl) + DISPATCH
+    K = sym.n - sym.tail_start
+    if K > 0:
+        score += K**3 / 3.0 + DISPATCH
+    return score
+
+
+def symbolic_factor_auto(
+    n: int,
+    pairs: Set[Tuple[int, int]],
+    d: int,
+    candidates: Sequence[str] = ("nd", "amd"),
+) -> SymbolicFactor:
+    """Try candidate orderings, keep the lowest-cost symbolic factorization
+    (ties keep the earlier candidate)."""
+    best = None
+    for o in candidates:
+        s = symbolic_factor(n, pairs, d, o)
+        sc = _score_symbolic(s)
+        if best is None or sc < best[0]:
+            best = (sc, s)
+    return best[1]
+
+
 def symbolic_factor(
     n: int,
     pairs: Set[Tuple[int, int]],

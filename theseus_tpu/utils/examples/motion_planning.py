@@ -33,6 +33,7 @@ class MotionPlannerObjective(core.Objective):
         num_time_steps: int,
         boundary_weight: float = 100.0,
         dtype=jnp.float64,
+        learnable_collision_weight: bool = False,
     ):
         super().__init__(dtype=dtype)
         self.num_time_steps = num_time_steps
@@ -60,7 +61,18 @@ class MotionPlannerObjective(core.Objective):
         self.add(Local(self.velocities[-1], zero_vel, bw, name="goal_vel"))
 
         qc = jnp.asarray(Qc_inv, dtype)
-        cw = core.ScaleCostWeight(jnp.asarray(collision_weight, dtype))
+        if learnable_collision_weight:
+            # named input "collision_w" (B, 1): the outer loop can feed a
+            # learned per-problem weight (reference models.py:102
+            # ScalarCollisionWeightModel -> objective update path)
+            cw = core.ScaleCostWeight(
+                core.Variable(
+                    jnp.full((1, 1), collision_weight, dtype),
+                    name="collision_w",
+                )
+            )
+        else:
+            cw = core.ScaleCostWeight(jnp.asarray(collision_weight, dtype))
         for i in range(num_time_steps):
             gpw = GPCostWeight(qc, dt, name=f"gpw_{i}")
             self.add(
@@ -112,6 +124,9 @@ class MotionPlanner:
             Qc_inv,
             num_time_steps,
             dtype=dtype,
+            learnable_collision_weight=opt_kwargs.pop(
+                "learnable_collision_weight", False
+            ),
         )
         self.optimizer = optimizer_cls(
             self.objective, max_iterations=max_iterations, **opt_kwargs
