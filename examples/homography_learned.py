@@ -226,7 +226,8 @@ def main():
     p.add_argument("--tpu", action="store_true")
     p.add_argument("--patch-stride", type=int, default=4)
     p.add_argument("--channels", type=int, default=CHANNELS)
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
     set_patch_stride(a.patch_stride)
     CHANNELS = a.channels
 

@@ -76,7 +76,8 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--inner-iters", type=int, default=3)
-    a = p.parse_args()
+    import _config
+    a = _config.parse_with_config(p)
 
     import optax
 

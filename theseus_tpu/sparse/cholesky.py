@@ -634,15 +634,39 @@ def sample_with_factor(sched: NumericSchedule, lflat, y):
     return x[sched.iperm]
 
 
+def _use_whole(sched: NumericSchedule, dtype, bsz: int) -> bool:
+    """Gate for the whole-sweep kernels (pallas_whole.py): one Mosaic
+    program per sweep with the factor in HBM. Requires no dense tail (tail
+    columns are eliminated by the XLA batched-POTRF path) and the usual
+    Pallas preconditions."""
+    from .. import config as _config
+
+    if sched.tail_k or sched.n_head == 0:
+        return False
+    d = sched.pattern.d
+    if not _config.pallas_enabled(dtype) or d > SMALL_DIM_MAX:
+        return False
+    if _config._PALLAS_INTERPRET:
+        return False
+    from .pallas_whole import whole_fits
+
+    return whole_fits(sched, d, bsz)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
 def sparse_block_solve(sched: NumericSchedule, ata_flat, atb):
     """x = H^{-1} atb with H the assembled block matrix. Differentiable wrt
     both inputs via factorization reuse."""
-    lflat = factorize(sched, ata_flat)
-    return solve_with_factor(sched, lflat, atb)
+    return _solve_fwd(sched, ata_flat, atb)[0]
 
 
 def _solve_fwd(sched, ata_flat, atb):
+    if _use_whole(sched, ata_flat.dtype, ata_flat.shape[1]):
+        from .pallas_whole import factorize_whole, solve_whole
+
+        lsoa = factorize_whole(sched, ata_flat)
+        x = solve_whole(sched, lsoa, atb)
+        return x, (lsoa, x)
     lflat = factorize(sched, ata_flat)
     x = solve_with_factor(sched, lflat, atb)
     return x, (lflat, x)
@@ -650,7 +674,12 @@ def _solve_fwd(sched, ata_flat, atb):
 
 def _solve_bwd(sched, res, g):
     lflat, x = res
-    h = solve_with_factor(sched, lflat, g)  # H symmetric
+    if lflat.ndim == 3:  # SoA residual from the whole-kernel path
+        from .pallas_whole import solve_whole
+
+        h = solve_whole(sched, lflat, g)
+    else:
+        h = solve_with_factor(sched, lflat, g)  # H symmetric
     d_atb = h
 
     pattern = sched.pattern

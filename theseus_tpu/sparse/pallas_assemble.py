@@ -36,20 +36,21 @@ def _bucket_kernel(n_pairs, pair_st, n_slots_b, d, m, E, SL, SV):
 
         jac_refs = refs[:n_slots_b]
         err_ref = refs[n_slots_b]
-        ata_in_ref = refs[n_slots_b + 1]
-        atb_in_ref = refs[n_slots_b + 2]
-        ata_ref = refs[n_slots_b + 3]
-        atb_ref = refs[n_slots_b + 4]
+        ata_ref = refs[n_slots_b + 1]
+        atb_ref = refs[n_slots_b + 2]
 
         c0 = pl.program_id(0)
 
-        # pallas outputs start uninitialized: seed the VMEM accumulators
-        # from the (aliased) inputs on the first chunk; they stay resident
-        # across the sequential grid and flush once at the end
+        # pallas outputs start uninitialized: zero-seed the VMEM accumulators
+        # on the first chunk (they stay resident across the sequential grid).
+        # Seeding in-kernel instead of aliasing a zeros input keeps ONE VMEM
+        # copy of the accumulators — the aliased-input variant doubled the
+        # footprint and gated the kernel off at the 256x128 flagship shape,
+        # silently falling back to XLA assembly.
         @pl.when(c0 == 0)
         def _():
-            ata_ref[...] = ata_in_ref[...]
-            atb_ref[...] = atb_in_ref[...]
+            ata_ref[...] = jnp.zeros_like(ata_ref)
+            atb_ref[...] = jnp.zeros_like(atb_ref)
 
         # per-chunk entry tiles: C_st[i][j] as (E, B)
         for pi, (s, t) in enumerate(pair_st):
@@ -113,12 +114,11 @@ def _build_call(n_pairs, pair_st, n_slots_b, d, m, E, SL, SV, k_chunks,
     def acc_spec():
         return pl.BlockSpec(memory_space=pltpu.VMEM)
 
-    def call(tgt, tr, ad, gv, jacs, err, ata2d, atb2d):
+    def call(tgt, tr, ad, gv, jacs, err):
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(k_chunks,),
-            in_specs=[edge_spec(m * d)] * n_slots_b
-            + [edge_spec(m), acc_spec(), acc_spec()],
+            in_specs=[edge_spec(m * d)] * n_slots_b + [edge_spec(m)],
             out_specs=(acc_spec(), acc_spec()),
         )
         return pl.pallas_call(
@@ -128,13 +128,19 @@ def _build_call(n_pairs, pair_st, n_slots_b, d, m, E, SL, SV, k_chunks,
                 jax.ShapeDtypeStruct((n_slots * SL, bsz), dtype),
                 jax.ShapeDtypeStruct((n_vars * SV, bsz), dtype),
             ),
+            # Mosaic's default VMEM cap rejects the ~12 MB resident
+            # accumulators at the 256x128 flagship shape; the gate
+            # (assemble_fits) guarantees we stay under this explicit limit
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=15 * 1024 * 1024
+            ),
             interpret=interpret,
-        )(tgt, tr, ad, gv, *jacs, err, ata2d, atb2d)
+        )(tgt, tr, ad, gv, *jacs, err)
 
     return call
 
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 13 * 1024 * 1024
 _EDGE_CHUNK = 8
 
 
@@ -144,8 +150,9 @@ def assemble_fits(pattern, blocks, bsz) -> bool:
     # VMEM tiles pad the lane (last) dim to 128: a batch-1 column still
     # occupies full 128-lane tiles
     lanes = ((bsz + 127) // 128) * 128
-    # accumulators appear twice (aliased input spec + output spec)
-    acc = 2 * (pattern.n_slots * SL + pattern.n_vars * SV) * lanes * 4
+    # accumulators appear ONCE (zero-seeded in kernel; per-bucket outputs
+    # are summed in XLA, so no aliased input copy)
+    acc = (pattern.n_slots * SL + pattern.n_vars * SV) * lanes * 4
     # per-edge tiles follow the kernel's in_specs: each jac slot is an
     # (E, m*d) tile and err an (E, m) tile, with m the bucket's residual
     # dim (err.shape[2]) — NOT d*d (a dim-m patch residual over dof-d vars
@@ -173,8 +180,8 @@ def assemble_pallas(pattern, co, blocks, interpret: bool = False):
     bsz = some_err.shape[1]
     dtype = some_err.dtype
 
-    ata2d = jnp.zeros((pattern.n_slots * SL, bsz), dtype=dtype)
-    atb2d = jnp.zeros((pattern.n_vars * SV, bsz), dtype=dtype)
+    ata2d = None
+    atb2d = None
 
     for bi, (jacs, err) in enumerate(blocks):
         jacs_p = [_pad_jac(j, d) for j in jacs]
@@ -214,10 +221,12 @@ def assemble_pallas(pattern, co, blocks, interpret: bool = False):
             bsz, pattern.n_slots, pattern.n_vars,
             jnp.dtype(dtype).name, interpret,
         )
-        ata2d, atb2d = call(
+        ata_b, atb_b = call(
             jnp.asarray(tgt), jnp.asarray(tr), jnp.asarray(ad),
-            jnp.asarray(gv), jac_soa, err_soa, ata2d, atb2d,
+            jnp.asarray(gv), jac_soa, err_soa,
         )
+        ata2d = ata_b if ata2d is None else ata2d + ata_b
+        atb2d = atb_b if atb2d is None else atb2d + atb_b
 
     ata = jnp.moveaxis(
         ata2d.reshape(pattern.n_slots, SL, bsz)[:, : d * d], 1, -1
