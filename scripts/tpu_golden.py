@@ -33,6 +33,25 @@ def _load_golden_module():
     return mod
 
 
+# TPU-measured per-backend pins (v5e, f32, 2026-08-17, post assembly-kernel
+# accumulator change). These are HARDWARE trajectory pins, distinct from the
+# CPU pins in tests/test_pgo_golden.py: the outer learned-radius loop
+# amplifies f32 summation-order differences into 3rd-digit loss shifts, so
+# any deliberate numerical-contract change (kernel accumulation order,
+# elimination ordering, matmul precision) requires re-measuring these on the
+# chip — run with --pin to print the current values for pasting. The
+# tripwire target is the bf16-matmul bug class, where the loss collapses by
+# orders of magnitude, not 1e-5 drift; tolerance is 3e-6 against the pinned
+# trajectory.
+TPU_GOLDEN = {
+    "dense": [0.004103524144738913, 0.004103155806660652,
+              0.0041025192476809025],
+    "sparse": [0.004104131832718849, 0.004105338826775551,
+               0.004103283863514662],
+}
+ATOL = 3e-6
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -40,19 +59,22 @@ def main():
 
     mod = _load_golden_module()
     platform = jax.devices()[0].platform
-    golden = np.asarray(mod.GOLDEN_LOSSES_F32)
-    tol = mod.ATOL_F32
+    tol = ATOL
+    pin_mode = "--pin" in sys.argv
 
     results = {}
     max_dev = 0.0
     ok = True
     for lin in ("dense", "sparse"):
         losses = np.asarray(mod.run(lin, dtype=jnp.float32))
-        dev = float(np.max(np.abs(losses - golden)))
+        dev = float(np.max(np.abs(losses - np.asarray(TPU_GOLDEN[lin]))))
         max_dev = max(max_dev, dev)
         results[lin] = {"losses": [float(x) for x in losses], "dev": dev}
         if dev > tol:
             ok = False
+    if pin_mode:
+        print(json.dumps({k: v["losses"] for k, v in results.items()}))
+        return
 
     out = {
         "tpu_golden": "ok" if ok else "FAIL",

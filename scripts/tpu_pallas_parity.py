@@ -11,6 +11,7 @@ against the XLA path on the same inputs and reports the max deviation:
   3. fused AtA/Atb assembly            (sparse/pallas_assemble.py)
   4. level elimination (factorize)     (sparse/pallas_factorize.py)
   5. fwd/bwd substitution (solve)      (sparse/pallas_factorize.py)
+  6. whole-sweep factorize/solve       (sparse/pallas_whole.py)
 
 Usage (TPU env):   python scripts/tpu_pallas_parity.py
 Prints one JSON line; exits nonzero if any family exceeds its tolerance.
@@ -120,6 +121,23 @@ def main():
     x_off = with_pallas(
         False, lambda l, b: solve_with_factor(sched, l, b), l_off, atb_off)
     devs["substitution"] = _rel_dev(x_on, x_off)
+
+    # 6. whole-sweep kernels (sparse/pallas_whole.py): factorize + both
+    # substitution sweeps as one Mosaic program each, vs the XLA paths.
+    # Default-off in production (slower than per-level; config.PALLAS_WHOLE)
+    # but hardware parity is still pinned here every round.
+    from theseus_tpu.sparse import pallas_whole as pw
+
+    if sched.tail_k == 0:
+        lsoa = jax.jit(lambda a: pw.factorize_whole(sched, a))(ata_d)
+        from theseus_tpu.sparse.pallas_factorize import soa_to_aos
+
+        nnz1 = sched.sym.nnz_l + 1
+        d = pattern.d
+        laos = soa_to_aos(lsoa[:nnz1, : d * d, :16], d)
+        devs["factorize_whole"] = _rel_dev(laos, l_off)
+        xw = jax.jit(lambda l, b: pw.solve_whole(sched, l, b))(lsoa, atb_off)
+        devs["solve_whole"] = _rel_dev(xw, x_off)
 
     # ---- BA problem: fused Reprojection -----------------------------------
     prob = synthetic_ba(num_cameras=8, num_points=60, batch=4, seed=0,

@@ -180,6 +180,19 @@ def set_sparse_dense_tail(enabled: bool) -> None:
 USE_PALLAS = "auto"
 _PALLAS_INTERPRET = False
 
+# Whole-sweep factorization/substitution kernels (sparse/pallas_whole.py):
+# measured SLOWER than the per-level kernels at every PGO shape on TPU v5e
+# (64x16: 0.38 vs 0.30, 256x128: wash, 2048x8: 16.7 vs 11.1, 2500x1: 15.2
+# vs 10.5 ms/LM-iter) — the sequential per-column grid is DMA-latency-bound
+# while the per-level kernels batch a whole level per dispatch. Kept as a
+# config-gated experiment; see BENCH_SWEEP.md for the A/B data.
+PALLAS_WHOLE = False
+
+
+def set_pallas_whole(enabled: bool) -> None:
+    global PALLAS_WHOLE
+    PALLAS_WHOLE = bool(enabled)
+
 
 def set_use_pallas(mode) -> None:
     """mode: "auto" | True | False."""

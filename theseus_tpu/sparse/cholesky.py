@@ -636,11 +636,14 @@ def sample_with_factor(sched: NumericSchedule, lflat, y):
 
 def _use_whole(sched: NumericSchedule, dtype, bsz: int) -> bool:
     """Gate for the whole-sweep kernels (pallas_whole.py): one Mosaic
-    program per sweep with the factor in HBM. Requires no dense tail (tail
-    columns are eliminated by the XLA batched-POTRF path) and the usual
-    Pallas preconditions."""
+    program per sweep with the factor in HBM. Default OFF
+    (config.PALLAS_WHOLE) — A/B-measured slower than the per-level kernels
+    at every tested shape; see config.py for the numbers. Requires no dense
+    tail and the usual Pallas preconditions."""
     from .. import config as _config
 
+    if not _config.PALLAS_WHOLE:
+        return False
     if sched.tail_k or sched.n_head == 0:
         return False
     d = sched.pattern.d

@@ -125,11 +125,22 @@ class WholeTables:
         self.cstart = cstart
         self.clen = clen
         self.ucount = np.asarray(ucount, np.int32)
-        self.usrc = usrc
-        # 2D layout: 3D SMEM operands pad the trailing dim to full lanes,
-        # which blows the 1 MB SMEM budget at flagship sizes
-        self.uimap = imap.reshape(nh, umax * rmax)
-        self.rid = rid
+        # SMEM is 1 MB and 2D scalar operands pad the trailing dim to full
+        # 128 lanes (a (2500, 75) uimap would occupy 1.28 MB). Both update
+        # tables are therefore flattened to 1D, and uimap — whose values are
+        # tail positions in [0, tlmax], tlmax being single-digit — is packed
+        # four bytes per int32: 2500 columns cost 188 KB instead of 1.28 MB.
+        assert tlmax < 255
+        self.usrc = usrc.reshape(-1)  # (nh*umax,)
+        flat = imap.reshape(-1).astype(np.uint32)  # ((j*umax+u)*rmax+t,)
+        npad = (-len(flat)) % 4
+        flat = np.concatenate([flat, np.zeros(npad, np.uint32)])
+        words = (
+            flat[0::4] | (flat[1::4] << 8) | (flat[2::4] << 16)
+            | (flat[3::4] << 24)
+        )
+        self.uimap_packed = words.astype(np.int32)
+        self.rid = rid  # (nh, rmax); flattened to 1D at call time
 
 
 def get_tables(sched) -> WholeTables:
@@ -146,7 +157,7 @@ def get_tables(sched) -> WholeTables:
 
 
 def _fact_kernel(d: int, rmax: int, tlmax: int, n_cols: int, pad: int,
-                 nnz_total: int):
+                 nnz_total: int, umax: int):
     dd = d * d
     dd8 = _sublanes(dd)
 
@@ -193,7 +204,7 @@ def _fact_kernel(d: int, rmax: int, tlmax: int, n_cols: int, pad: int,
         acc = tuple(cola_ref[0, :, ij, :] for ij in range(dd))
 
         def u_body(u, acc):
-            src = usrc_ref[c, u]
+            src = usrc_ref[c * umax + u]
             dma = pltpu.make_async_copy(
                 lout_ref.at[pl.ds(src, tlmax)],
                 tail_s.at[pl.ds(0, tlmax)],
@@ -202,8 +213,16 @@ def _fact_kernel(d: int, rmax: int, tlmax: int, n_cols: int, pad: int,
             dma.start()
             dma.wait()
             kj = tail_s[0]  # (dd, B) = L[j, k]
+
+            def imap(t):
+                # four byte-packed tail positions per int32 (see WholeTables);
+                # mask AFTER the arithmetic shift so the sign-extended top
+                # byte still unpacks correctly
+                f = (c * umax + u) * rmax + t
+                return (uimap_ref[f >> 2] >> ((f & 3) * 8)) & 0xFF
+
             ks = jnp.stack(
-                [tail_s[uimap_ref[c, u * rmax + t]] for t in range(rmax)],
+                [tail_s[imap(t)] for t in range(rmax)],
                 axis=0,
             )  # (rmax, dd, B), row t = L[row_t, k] (zero pad when absent)
             out = []
@@ -268,7 +287,7 @@ def _fact_kernel(d: int, rmax: int, tlmax: int, n_cols: int, pad: int,
 
 
 @lru_cache(maxsize=None)
-def _build_fact_call(d, rmax, tlmax, pad, n_cols, nnz_total, bsz,
+def _build_fact_call(d, rmax, tlmax, pad, n_cols, nnz_total, umax, bsz,
                      dtype_name, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -276,7 +295,7 @@ def _build_fact_call(d, rmax, tlmax, pad, n_cols, nnz_total, bsz,
     dtype = jnp.dtype(dtype_name)
     dd = d * d
     dd8 = _sublanes(dd)
-    kernel = _fact_kernel(d, rmax, tlmax, n_cols, pad, nnz_total)
+    kernel = _fact_kernel(d, rmax, tlmax, n_cols, pad, nnz_total, umax)
 
     def call(cstart, ucount, usrc, uimap, cola):
         grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -339,12 +358,12 @@ def factorize_whole(sched, ata_flat, interpret: bool = False):
         cola = cola.at[:, 0, diag_ij, bsz:].set(1.0)
 
     call = _build_fact_call(
-        d, t.rmax, t.tlmax, t.pad, t.n_head, sched.sym.nnz_l + 1, bpad,
-        jnp.dtype(ata_flat.dtype).name, interpret,
+        d, t.rmax, t.tlmax, t.pad, t.n_head, sched.sym.nnz_l + 1, t.umax,
+        bpad, jnp.dtype(ata_flat.dtype).name, interpret,
     )
     return call(
         jnp.asarray(t.cstart), jnp.asarray(t.ucount),
-        jnp.asarray(t.usrc), jnp.asarray(t.uimap), cola,
+        jnp.asarray(t.usrc), jnp.asarray(t.uimap_packed), cola,
     )
 
 
@@ -397,7 +416,7 @@ def _fwd_kernel(d: int, rmax: int, n_cols: int):
 
         # right-looking push into the rows below (pad row n absorbs invalid)
         for t in range(1, rmax):
-            r = rid_ref[c, t]
+            r = rid_ref[c * rmax + t]  # rid arrives 1D (SMEM lane padding)
             for i in range(d):
                 s = y_ref[r, i, :]
                 for k in range(d):
@@ -442,7 +461,7 @@ def _bwd_kernel(d: int, rmax: int, n_cols: int):
         j = jcol_ref[c]
         acc = [y_ref[j, i, :] for i in range(d)]
         for t in range(1, rmax):
-            r = rid_ref[c, t]  # pad row of x is permanently zero
+            r = rid_ref[c * rmax + t]  # pad row of x is zero; rid is 1D
             for jv in range(d):
                 s = acc[jv]
                 for i in range(d):
@@ -532,11 +551,13 @@ def solve_whole(sched, lsoa, atb, interpret: bool = False):
     if bpad != bsz:
         b_pad = jnp.pad(b_pad, ((0, 0), (0, 0), (0, bpad - bsz)))
 
-    y = fwd(jnp.asarray(t.cstart), jnp.asarray(t.rid), lsoa, b_pad)
+    y = fwd(
+        jnp.asarray(t.cstart), jnp.asarray(t.rid.reshape(-1)), lsoa, b_pad
+    )
 
     rev = np.arange(nh - 1, -1, -1)
     x = bwd(
-        jnp.asarray(t.cstart[rev]), jnp.asarray(t.rid[rev]),
+        jnp.asarray(t.cstart[rev]), jnp.asarray(t.rid[rev].reshape(-1)),
         jnp.asarray(rev.astype(np.int32)), lsoa, y,
     )
     return jnp.moveaxis(x[:nh, :, :bsz], -1, 1)[sched.iperm]
@@ -544,10 +565,23 @@ def solve_whole(sched, lsoa, atb, interpret: bool = False):
 
 # VMEM gate: per-column working set only (the factor stays in HBM)
 _VMEM_BUDGET = 8 * 1024 * 1024
+# SMEM holds the prefetched scalar tables (1 MB total); leave headroom for
+# Mosaic's own grid bookkeeping
+_SMEM_BUDGET = 800 * 1024
+# Below this column count the per-level kernels win: the whole kernel's
+# sequential per-column grid amortizes dispatch only when the etree is deep
+# (A/B on TPU v5e: 64 poses 0.296 -> 0.381 ms/iter, 256 poses a wash)
+WHOLE_MIN_COLS = 192
+
+
+def _pad128(n: int) -> int:
+    return ((n + 127) // 128) * 128
 
 
 def whole_fits(sched, d: int, bsz: int) -> bool:
     t = get_tables(sched)
+    if t.n_head < WHOLE_MIN_COLS:
+        return False
     lanes = ((bsz + 127) // 128) * 128
     dd_pad = ((d * d + 7) // 8) * 8
     blocks = (
@@ -557,4 +591,12 @@ def whole_fits(sched, d: int, bsz: int) -> bool:
         + 2 * t.rmax  # streamed col_a (double-buffered)
         + 2 * t.rmax  # solve lcol double buffer
     ) * dd_pad * lanes * 4
-    return blocks <= _VMEM_BUDGET
+    # scalar-prefetch tables: 1D operands still lane-pad to 128 entries
+    nh = t.n_head
+    smem = 4 * (
+        2 * _pad128(nh)  # cstart + ucount
+        + _pad128(nh * t.umax)  # usrc
+        + _pad128(len(t.uimap_packed))  # byte-packed uimap
+        + _pad128(nh * t.rmax)  # rid (solve sweeps)
+    )
+    return blocks <= _VMEM_BUDGET and smem <= _SMEM_BUDGET
