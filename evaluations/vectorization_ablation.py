@@ -91,12 +91,22 @@ def main(sizes, batch):
             print(f"poses={n_poses:4d} vectorize={vec!s:5s} pallas={pallas!s:5s}: "
                   f"{ms:8.2f} ms/iter (compile {compile_s:.0f}s)", flush=True)
 
+    # merge with any existing table so partial extensions (e.g. a 512-pose
+    # run hours after the 16/64 one) don't clobber prior rows
+    merged = {}
+    if OUT.exists():
+        for line in OUT.read_text().splitlines():
+            cells = [c.strip() for c in line.strip().strip("|").split("|")]
+            if len(cells) == 5 and cells[0].isdigit():
+                merged[(int(cells[0]), cells[1], cells[2])] = (cells[3], cells[4])
+    for n, v, p, ms, cs in rows:
+        merged[(n, str(v), str(p))] = (f"{ms:.2f}", f"{cs:.0f}")
     with open(OUT, "w") as f:
         f.write("# Vectorization ablation (PGO SE3, batch %d)\n\n" % batch)
         f.write("| poses | vectorize | pallas | ms/LM-iter | compile (s) |\n")
         f.write("|---|---|---|---|---|\n")
-        for n, v, p, ms, cs in rows:
-            f.write(f"| {n} | {v} | {p} | {ms:.2f} | {cs:.0f} |\n")
+        for (n, v, p), (ms, cs) in sorted(merged.items(), key=lambda kv: (kv[0][0], kv[0][1], kv[0][2])):
+            f.write(f"| {n} | {v} | {p} | {ms} | {cs} |\n")
     print(f"wrote {OUT}")
 
 

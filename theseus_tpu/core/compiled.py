@@ -28,6 +28,22 @@ from ..lie import Group
 from .cost_function import CostFunction, GNCRobustCostFunction, RobustCostFunction
 
 
+def _bcast(v, shape):
+    """Broadcast that keeps host (numpy) values host-side (a view, no op)."""
+    if isinstance(v, np.ndarray):
+        return np.broadcast_to(v, shape)
+    return jnp.broadcast_to(v, shape)
+
+
+def _stack(arrs, axis=0):
+    """Stack that keeps all-host inputs in numpy: an eager jnp.stack of N
+    device operands is an N-operand compile + dispatch per call on a remote
+    backend. Mixed/device inputs take the jnp path (differentiable)."""
+    if all(isinstance(a, np.ndarray) for a in arrs):
+        return np.stack(arrs, axis=axis)
+    return jnp.stack([jnp.asarray(a) for a in arrs], axis=axis)
+
+
 @dataclasses.dataclass(frozen=True)
 class SlotSpec:
     type_key: str
@@ -144,7 +160,11 @@ class CompiledObjective:
     def pack(self, values: Dict[str, jnp.ndarray], batch_size: Optional[int] = None):
         """values {name: (B|1, *shape)} (+ {family: (N, B|1, *shape)}) ->
         state {type: (N_t, B, *shape)}. Family blocks enter as single
-        operands — no N-way stack."""
+        operands — no N-way stack. Host (numpy) values stay host-side and
+        stack in numpy: an eager jnp.stack of N device operands is an
+        N-operand remote compile+dispatch per call (a 2500-pose pack cost
+        tens of seconds through the tunnel); the single host array moves to
+        the device once, at the first jitted call."""
         b = batch_size or self.resolve_batch_size(values)
         state = {}
         for tk, segs in self._segments(tk_filter=None).items():
@@ -155,9 +175,9 @@ class CompiledObjective:
                     for n in obj:
                         v = values[n]
                         if v.shape[0] != b:
-                            v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+                            v = _bcast(v, (b,) + v.shape[1:])
                         arrs.append(v)
-                    pieces.append(jnp.stack(arrs, axis=0))
+                    pieces.append(_stack(arrs))
                 else:
                     fam = obj
                     v = values[fam.name]
@@ -167,7 +187,15 @@ class CompiledObjective:
                         v = jnp.broadcast_to(v, (v.shape[0], b) + v.shape[2:])
                     pieces.append(v)
             state[tk] = (
-                pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+                pieces[0]
+                if len(pieces) == 1
+                else (
+                    np.concatenate(pieces, axis=0)
+                    if all(isinstance(p, np.ndarray) for p in pieces)
+                    else jnp.concatenate(
+                        [jnp.asarray(p) for p in pieces], axis=0
+                    )
+                )
             )
         return state
 
@@ -203,7 +231,7 @@ class CompiledObjective:
         def get(n):
             v = values[n] if n in values else self.aux_defaults[n]
             if v.shape[0] != b:
-                v = jnp.broadcast_to(v, (b,) + v.shape[1:])
+                v = _bcast(v, (b,) + v.shape[1:])
             return v
 
         def get_stacked(n):
@@ -212,7 +240,7 @@ class CompiledObjective:
             if not isinstance(v, (np.ndarray, jnp.ndarray)):
                 v = jnp.asarray(v)
             if v.ndim >= 2 and v.shape[1] != b:
-                v = jnp.broadcast_to(v, (v.shape[0], b) + v.shape[2:])
+                v = _bcast(v, (v.shape[0], b) + v.shape[2:])
             return v
 
         def build_slots(slots):
@@ -223,7 +251,7 @@ class CompiledObjective:
                 elif s.shared:
                     out.append(get(s.names[0]))  # (B, ...)
                 else:
-                    out.append(jnp.stack([get(n) for n in s.names], axis=0))
+                    out.append(_stack([get(n) for n in s.names], axis=0))
             return tuple(out)
 
         return tuple(

@@ -61,7 +61,7 @@ class ScaleCostWeight(CostWeight):
             # bounded + x64-aware via the shared scalar memo
             from .variable import _memo_scalar
 
-            scale = _memo_scalar(scale).reshape(1, 1)
+            scale = _memo_scalar(scale, shape=(1, 1))
         v = as_variable(scale)
         if v.tensor.ndim == 0:
             v.tensor = v.tensor.reshape(1, 1)

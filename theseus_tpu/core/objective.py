@@ -14,6 +14,7 @@ from collections import OrderedDict
 from typing import Dict, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import solver_precision
 from .compiled import CompiledObjective, compile_objective
@@ -167,7 +168,14 @@ class Objective:
                 values[n] = a.tensor
         if input_tensors:
             for n, t in input_tensors.items():
-                values[n] = jnp.asarray(t)
+                # keep host arrays host-side: a per-name jnp.asarray is one
+                # device_put round-trip EACH on a remote backend (2500 poses
+                # = 2500 transfers); pack/build_aux stack host values in
+                # numpy and move the result to the device in one transfer
+                if isinstance(t, (np.ndarray, jnp.ndarray)):
+                    values[n] = t
+                else:
+                    values[n] = np.asarray(t)
         missing = [
             n for n in self.optim_vars if n not in values or values[n] is None
         ]

@@ -116,19 +116,26 @@ _SCALAR_MEMO: dict = {}
 _SCALAR_MEMO_MAX = 4096
 
 
-def _memo_scalar(value):
+def _memo_scalar(value, shape=None):
     """Bounded, x64-aware memo for Python-scalar constants: the key carries
     the current x64 flag (an entry created before toggling jax_enable_x64
     must not be reused after), and the cache evicts oldest-first so
-    data-dependent weights (10^5 distinct floats) cannot leak unboundedly."""
+    data-dependent weights (10^5 distinct floats) cannot leak unboundedly.
+    `shape` memoizes the RESHAPED constant: a post-hoc .reshape on the hit
+    dispatches one eager op per call, which on a remote backend costs a
+    ~0.1 s round-trip per cost (a 2500-pose objective build took 103 s of
+    nothing but default-weight reshapes)."""
     import jax as _jax
 
-    key = (type(value), value, bool(_jax.config.jax_enable_x64))
+    key = (type(value), value, shape, bool(_jax.config.jax_enable_x64))
     hit = _SCALAR_MEMO.get(key)
     if hit is None:
         if len(_SCALAR_MEMO) >= _SCALAR_MEMO_MAX:
             _SCALAR_MEMO.pop(next(iter(_SCALAR_MEMO)))
-        hit = _SCALAR_MEMO[key] = jnp.asarray(value)
+        hit = jnp.asarray(value)
+        if shape is not None:
+            hit = hit.reshape(shape)
+        _SCALAR_MEMO[key] = hit
     return hit
 
 
