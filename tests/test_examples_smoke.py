@@ -37,6 +37,8 @@ SLOW = [
     ("homography_learned.py", ["--steps", "2", "--batch", "2",
                                "--patch-stride", "12", "--channels", "2"]),
     ("motion_planning_learned.py", ["--steps", "2", "--batch", "2"]),
+    ("gbp_pose_graph.py", ["--n-poses", "6", "--msg-iters", "25",
+                           "--max-iterations", "8"]),
 ]
 
 

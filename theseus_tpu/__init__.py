@@ -106,6 +106,7 @@ from .optim import (
     DenseCholeskySolver,
     DenseLUSolver,
     Dogleg,
+    GaussianBeliefPropagation,
     GaussNewton,
     LevenbergMarquardt,
     LinearOptimizer,

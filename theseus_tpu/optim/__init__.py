@@ -11,5 +11,6 @@ from .nonlinear import (
 )
 from .dcem import DCEM, DCEMOptions
 from .gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
+from .gbp import GaussianBeliefPropagation, GBPOptions
 from .lml import lml
 from .ordering import VariableOrdering
