@@ -114,4 +114,4 @@ assert max(stds) == max(stds[1:]), "uncertainty grows away from the anchor"
 mid = int(np.argmax(stds))
 assert 1 <= mid <= N - 1
 print(f"least certain pose: x{mid}")
-print("ok")
+print("OK")

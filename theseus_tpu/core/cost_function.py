@@ -144,6 +144,24 @@ class AutoDiffCostFunction(CostFunction):
         return super().schema() + (id(self._err_fn), self.autograd_mode)
 
 
+def _as_batched_scalar(value):
+    """Coerce a user scalar (Python/numpy float or 0-d/1-d array) to a
+    (1, 1) aux Variable: every aux operand must carry a leading batch dim
+    (build_aux broadcasts on shape[0]; reference wraps these the same way,
+    robust_cost_function.py:63-75)."""
+    if isinstance(value, Variable):
+        v = value
+    else:
+        v = as_variable(value)
+    t = v.tensor
+    if t is not None:
+        if getattr(t, "ndim", 2) == 0:
+            v.tensor = t.reshape(1, 1)
+        elif t.ndim == 1:  # (B,) -> (B, 1): 1-d means per-batch values
+            v.tensor = t.reshape(-1, 1)
+    return v
+
+
 class RobustCostFunction(CostFunction):
     """Wraps a cost function with a robust loss rho applied to ||w e||^2
     (reference core/robust_cost_function.py:51). The weighted error reported
@@ -159,7 +177,7 @@ class RobustCostFunction(CostFunction):
         flatten_dims: bool = False,
         name: Optional[str] = None,
     ):
-        log_loss_radius = as_variable(log_loss_radius)
+        log_loss_radius = _as_batched_scalar(log_loss_radius)
         super().__init__(
             cost_function.optim_vars,
             tuple(cost_function.aux_vars) + (log_loss_radius,),
@@ -236,7 +254,7 @@ class GNCRobustCostFunction(RobustCostFunction):
             raise ValueError(f"{loss_cls.__name__} is not a GNC-capable loss.")
         super().__init__(cost_function, loss_cls, log_loss_radius,
                          flatten_dims=flatten_dims, name=name)
-        gnc_control_val = as_variable(gnc_control_val)
+        gnc_control_val = _as_batched_scalar(gnc_control_val)
         self.gnc_control_val = gnc_control_val
         self.aux_vars = tuple(self.aux_vars) + (gnc_control_val,)
 
