@@ -76,6 +76,106 @@ class ManifoldVariable(Variable):
             return self.tensor
         return self.group.identity(1, dtype=dtype)
 
+    # -- euclidean arithmetic surface (reference geometry/vector.py:73-188,
+    # point_types.py:32-59): Vector/Point2/Point3 support elementwise
+    # arithmetic and inner products, returning new euclidean variables.
+    # Host (numpy) operands stay host-side — no device dispatch at build.
+    @property
+    def _is_euclidean(self) -> bool:
+        return self.group.name.startswith("Rn")
+
+    def _euclid_data(self, other):
+        if not self._is_euclidean:
+            raise TypeError(
+                f"arithmetic is only defined for euclidean variables, "
+                f"not {self.group.name}; use the lie ops / LieArray API"
+            )
+        if isinstance(other, ManifoldVariable):
+            if not other._is_euclidean:
+                raise TypeError("cannot combine euclidean and Lie variables")
+            other = other.tensor
+        return self.tensor, other
+
+    def _wrap(self, data):
+        return ManifoldVariable(euclidean(int(data.shape[-1])), data)
+
+    def __add__(self, other):
+        a, b = self._euclid_data(other)
+        return self._wrap(a + b)
+
+    __radd__ = __add__
+
+    def __sub__(self, other):
+        a, b = self._euclid_data(other)
+        return self._wrap(a - b)
+
+    def __rsub__(self, other):
+        a, b = self._euclid_data(other)
+        return self._wrap(b - a)
+
+    def __mul__(self, other):
+        a, b = self._euclid_data(other)
+        return self._wrap(a * b)
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        a, b = self._euclid_data(other)
+        return self._wrap(a / b)
+
+    def __neg__(self):
+        a, _ = self._euclid_data(None)
+        return self._wrap(-a)
+
+    def __abs__(self):
+        a, _ = self._euclid_data(None)
+        return self._wrap(abs(a))
+
+    def __matmul__(self, matrix):
+        a, m = self._euclid_data(matrix)
+        out = (a[:, None, :] @ m)[:, 0, :] if m.ndim == 3 else a @ m
+        return self._wrap(out)
+
+    def dot(self, other):
+        """Batched inner product -> (B,) array (reference vector.py:150)."""
+        a, b = self._euclid_data(other)
+        return (a * b).sum(-1)
+
+    inner = dot
+
+    def outer(self, other):
+        """Batched outer product -> (B, dof, dof) array."""
+        a, b = self._euclid_data(other)
+        return a[..., :, None] * b[..., None, :]
+
+    def norm(self, **kwargs):
+        a, _ = self._euclid_data(None)
+        lin = jnp.linalg if isinstance(a, jnp.ndarray) else np.linalg
+        return lin.norm(a, axis=-1, **kwargs)
+
+    @staticmethod
+    def cat(vectors, name: Optional[str] = None) -> "ManifoldVariable":
+        """Concatenate euclidean variables along dof (reference
+        vector.py:167)."""
+        datas = [v.tensor if isinstance(v, ManifoldVariable) else v
+                 for v in vectors]
+        cat = (np.concatenate if all(isinstance(d, np.ndarray) for d in datas)
+               else jnp.concatenate)
+        data = cat([d for d in datas], axis=-1)
+        return ManifoldVariable(euclidean(int(data.shape[-1])), data, name)
+
+    # point accessors (reference point_types.py:32-59)
+    def x(self):
+        return self.tensor[..., 0]
+
+    def y(self):
+        return self.tensor[..., 1]
+
+    def z(self):
+        if self.dof < 3:
+            raise AttributeError("z() requires dof >= 3")
+        return self.tensor[..., 2]
+
 
 # -- convenience constructors (parity with th.SE3(...), th.Vector(...)) -----
 
