@@ -194,6 +194,29 @@ def set_pallas_whole(enabled: bool) -> None:
     PALLAS_WHOLE = bool(enabled)
 
 
+# Level-RUN scanning (sparse/cholesky.py): consecutive etree levels whose
+# padded tables are shape-compatible (within LEVEL_RUN_WASTE x the exact
+# gather volume) are stacked and executed by ONE lax.scan body instead of
+# one unrolled HLO segment each. This makes the solver's program size
+# O(#runs) ~ O(1) instead of O(#levels) — compile time is the payoff
+# (sphere2500: 17 levels x 3 sweeps x ~600 unrolled-small-linalg ops
+# dominated the 32k-op program; on TPU each level also costs a separate
+# Mosaic kernel compile). "auto" enables runs when the level count is at
+# least LEVEL_RUN_MIN_LEVELS; True/False force.
+LEVEL_RUNS = "auto"
+# threshold chosen so the hardware-A/B-measured flagship shapes (64x16: 11
+# levels, 256x128: 13) keep their unrolled plan until runs are A/B-proven
+# there; sphere2500-class (17 levels) gets the compile win immediately
+LEVEL_RUN_MIN_LEVELS = 14
+LEVEL_RUN_WASTE = 2.5
+
+
+def set_level_runs(mode) -> None:
+    """mode: "auto" | True | False."""
+    global LEVEL_RUNS
+    LEVEL_RUNS = mode
+
+
 def set_use_pallas(mode) -> None:
     """mode: "auto" | True | False."""
     global USE_PALLAS

@@ -170,6 +170,11 @@ class NumericSchedule:
                     "diag_slots": np.asarray(self.diag_slots)[cols],
                 }
                 self.level_tables.append(t)
+        # level RUNS: consecutive levels stacked into one lax.scan body each
+        # (program size O(#runs) instead of O(#levels); config.LEVEL_RUNS)
+        self.level_runs = (
+            _build_level_runs(self.level_tables, n) if self.level_tables else []
+        )
 
 
     def _build_tail_tables(self):
@@ -232,6 +237,93 @@ class NumericSchedule:
         self.tail_upd_jk = upd_jk
         self.tail_upd_k = upd_k
         self.tail_upd_valid = upd_valid
+
+
+def _build_level_runs(level_tables, n):
+    """Greedily group CONSECUTIVE levels into runs whose stacked padded
+    tables stay within config.LEVEL_RUN_WASTE x the exact gather volume
+    (order between levels is a hard dependency, so only adjacent levels can
+    share a scan). Each run stacks the per-level tables along a leading L
+    axis, padded to the run maxima; padded columns point their scatter at
+    the zero sentinel (slot 0) and their solve row at the sentinel row `n`.
+    Returns a list of dicts with stacked numpy tables + run dims."""
+    from .. import config as _config
+
+    kappa = float(_config.LEVEL_RUN_WASTE)
+
+    def vol(c, r, u):
+        return c * (u * r + r + u)
+
+    groups: list = []
+    cur: list = []
+
+    def dims(levels):
+        return (
+            max(t["cols"].shape[0] for t in levels),
+            max(t["a_src"].shape[1] for t in levels),
+            max(t["upd_slots"].shape[1] for t in levels),
+        )
+
+    for t in level_tables:
+        trial = cur + [t]
+        C, R, U = dims(trial)
+        exact = sum(
+            vol(x["cols"].shape[0], x["a_src"].shape[1],
+                x["upd_slots"].shape[1])
+            for x in trial
+        )
+        if cur and len(trial) * vol(C, R, U) > kappa * exact:
+            groups.append(cur)
+            cur = [t]
+        else:
+            cur = trial
+    if cur:
+        groups.append(cur)
+
+    runs = []
+    for g in groups:
+        C, R, U = dims(g)
+        L = len(g)
+
+        def stack(key, shape_fn, fill=0, dtype=None):
+            out = np.full((L,) + shape_fn, fill,
+                          dtype=dtype or g[0][key].dtype)
+            for i, t in enumerate(g):
+                a = t[key]
+                out[(i,) + tuple(slice(0, s) for s in a.shape)] = a
+            return out
+
+        runs.append(
+            {
+                "L": L, "C": C, "R": R, "U": U,
+                "cols": stack("cols", (C,), fill=n),  # sentinel row n
+                "a_src": stack("a_src", (C, R)),
+                "a_tr": stack("a_tr", (C, R), fill=False),
+                "valid": stack("valid", (C, R), fill=False),
+                "col_slots": stack("col_slots", (C, R)),
+                "row_ids": stack("row_ids", (C, R)),
+                "row_valid": stack("row_valid", (C, R), fill=False),
+                "upd_slots": stack("upd_slots", (C, U, R)),
+                "jk_slots": stack("jk_slots", (C, U)),
+                "upd_k": stack("upd_k", (C, U)),
+                "upd_valid": stack("upd_valid", (C, U), fill=False),
+                "diag_slots": stack("diag_slots", (C,)),
+            }
+        )
+    return runs
+
+
+def _use_runs(sched: "NumericSchedule") -> bool:
+    from .. import config as _config
+
+    if not sched.use_levels or not sched.level_runs:
+        return False
+    mode = _config.LEVEL_RUNS
+    if mode is True:
+        return True
+    if mode is False:
+        return False
+    return len(sched.level_tables) >= _config.LEVEL_RUN_MIN_LEVELS
 
 
 def _tail_dense_blocks_to_mat(C, valid, K, d):
@@ -342,7 +434,9 @@ def _tail_bwd_solve(sched: NumericSchedule, lflat, y):
 def factorize(sched: NumericSchedule, ata_flat):
     """ata_flat (n_slots, B, d, d) -> Lflat (nnz_l+1, B, d, d)."""
     if sched.use_levels:
-        if _pallas_level_ok(sched, ata_flat):
+        if _use_runs(sched):
+            lflat = _factorize_level_runs(sched, ata_flat)
+        elif _pallas_level_ok(sched, ata_flat):
             from .. import config as _config
 
             lflat = _factorize_levels_pallas(
@@ -435,6 +529,188 @@ def _factorize_levels(sched: NumericSchedule, ata_flat):
     return lflat
 
 
+_RUN_FACT_KEYS = ("a_src", "a_tr", "valid", "col_slots", "upd_slots",
+                  "jk_slots")
+_RUN_FWD_KEYS = ("jk_slots", "upd_k", "upd_valid", "diag_slots", "cols")
+_RUN_BWD_KEYS = ("col_slots", "row_ids", "row_valid", "cols")
+
+
+def _run_xs(run, keys):
+    return tuple(jnp.asarray(run[k]) for k in keys)
+
+
+def _pallas_run_ok(sched: NumericSchedule, dtype, bsz: int) -> bool:
+    from .. import config as _config
+
+    d = sched.pattern.d
+    if not _config.pallas_enabled(dtype) or d > SMALL_DIM_MAX:
+        return False
+    if _config._PALLAS_INTERPRET:
+        return False
+    from .pallas_factorize import level_fits
+
+    return all(
+        level_fits(d, r["R"], r["U"], bsz) for r in sched.level_runs
+    )
+
+
+def _factorize_level_runs(sched: NumericSchedule, ata_flat):
+    """Level-sweep elimination with one lax.scan per run of consecutive
+    levels (same math as _factorize_levels; padded columns write zeros to
+    the slot-0 sentinel). Optionally fuses each scanned level's arithmetic
+    into the per-level Mosaic kernel."""
+    sym = sched.sym
+    bsz = ata_flat.shape[1]
+    d = ata_flat.shape[-1]
+    dtype = ata_flat.dtype
+    pallas = _pallas_run_ok(sched, dtype, bsz)
+    if pallas:
+        from . import pallas_factorize as pf
+        from .. import config as _config
+
+        perm_t = np.asarray([j * d + i for i in range(d) for j in range(d)])
+        ata_soa = pf.aos_to_soa(ata_flat)
+        lflat = jnp.zeros((sym.nnz_l + 1, d * d, bsz), dtype=dtype)
+
+        def body(lflat, x):
+            a_ids, a_tr, valid, c_slots, upd_ids, jk_ids = x
+            col_a = ata_soa[a_ids]  # (C, R, dd, B)
+            col_a = jnp.where(
+                a_tr[:, :, None, None], col_a[:, :, perm_t, :], col_a
+            )
+            ks = lflat[upd_ids]  # (C, U, R, dd, B)
+            kj = lflat[jk_ids]  # (C, U, dd, B)
+            newcol = pf.level_eliminate_soa(
+                col_a, ks, kj, d, interpret=_config._PALLAS_INTERPRET
+            )
+            newcol = jnp.where(valid[:, :, None, None], newcol, 0.0)
+            return lflat.at[c_slots].set(newcol), None
+
+        for run in sched.level_runs:
+            lflat, _ = jax.lax.scan(body, lflat, _run_xs(run, _RUN_FACT_KEYS))
+        return pf.soa_to_aos(lflat, d)
+
+    lflat = jnp.zeros((sym.nnz_l + 1, bsz, d, d), dtype=dtype)
+
+    def body(lflat, x):
+        a_ids, a_tr, valid, c_slots, upd_ids, jk_ids = x
+        col_a = ata_flat[a_ids]  # (C, R, B, d, d)
+        col_a = jnp.where(
+            a_tr[:, :, None, None, None], jnp.swapaxes(col_a, -1, -2), col_a
+        )
+        ks = lflat[upd_ids]
+        kj = lflat[jk_ids]
+        upd = jnp.einsum("curbik,cubjk->crbij", ks, kj)
+        c = col_a - upd
+        dblk = 0.5 * (c[:, 0] + jnp.swapaxes(c[:, 0], -1, -2))
+        ld = _chol(dblk, d)
+        rest = _col_rt_solve(ld, c[:, 1:], d)
+        newcol = jnp.concatenate([ld[:, None], rest], axis=1)
+        newcol = jnp.where(valid[:, :, None, None, None], newcol, 0.0)
+        return lflat.at[c_slots].set(newcol), None
+
+    for run in sched.level_runs:
+        lflat, _ = jax.lax.scan(body, lflat, _run_xs(run, _RUN_FACT_KEYS))
+    return lflat
+
+
+def _solve_level_runs(sched: NumericSchedule, lflat, atb):
+    """Both substitution passes as per-run scans. Vectors carry one extra
+    sentinel row (index n) that padded columns write into; it is dropped
+    before the tail interop and the final unpermute."""
+    n = sched.sym.n
+    d = atb.shape[-1]
+    bsz = atb.shape[1]
+    b_perm = atb[sched.perm]
+    b_ext = jnp.concatenate(
+        [b_perm, jnp.zeros((1, bsz, d), atb.dtype)], axis=0
+    )
+    pallas = _pallas_run_ok(sched, lflat.dtype, bsz)
+    if pallas:
+        from . import pallas_factorize as pf
+        from .. import config as _config
+
+        interp = _config._PALLAS_INTERPRET
+        lsoa = pf.aos_to_soa(lflat)
+        b_soa = jnp.moveaxis(b_ext, 1, -1)  # (n+1, d, B)
+        y = jnp.zeros_like(b_soa)
+
+        def fwd_body(y, x):
+            jk_ids, k_ids, kvalid, dslots, cols = x
+            ljk = lsoa[jk_ids]  # (C, U, dd, B)
+            yk = y[k_ids]  # (C, U, d, B)
+            yk = jnp.where(kvalid[:, :, None, None], yk, 0.0)
+            yj = pf.fwd_sub_level(
+                ljk, yk, b_soa[cols], lsoa[dslots], d, interpret=interp
+            )
+            return y.at[cols].set(yj), None
+
+        for run in sched.level_runs:
+            y, _ = jax.lax.scan(fwd_body, y, _run_xs(run, _RUN_FWD_KEYS))
+
+        x = jnp.zeros_like(y)
+        if sched.tail_k:
+            y_aos = _tail_fwd_solve(
+                sched, lflat, jnp.moveaxis(y[:n], -1, 1), b_perm
+            )
+            y = y.at[:n].set(jnp.moveaxis(y_aos, 1, -1))
+            xt = _tail_bwd_solve(sched, lflat, y_aos)
+            x = x.at[sched.n_head : n].set(jnp.moveaxis(xt, 1, -1))
+
+        def bwd_body(x, t):
+            c_slots, row_ids, row_valid, cols = t
+            lcol = lsoa[c_slots]  # (C, R, dd, B)
+            xr = x[row_ids]  # (C, R, d, B)
+            below = row_valid & (jnp.arange(row_valid.shape[1])[None, :] > 0)
+            xr = jnp.where(below[:, :, None, None], xr, 0.0)
+            xj = pf.bwd_sub_level(lcol, xr, y[cols], d, interpret=interp)
+            return x.at[cols].set(xj), None
+
+        for run in reversed(sched.level_runs):
+            x, _ = jax.lax.scan(
+                bwd_body, x, _run_xs(run, _RUN_BWD_KEYS), reverse=True
+            )
+        return jnp.moveaxis(x[:n], -1, 1)[sched.iperm]
+
+    y = jnp.zeros_like(b_ext)
+
+    def fwd_body(y, x):
+        jk_ids, k_ids, kvalid, dslots, cols = x
+        ljk = lflat[jk_ids]  # (C, U, B, d, d)
+        yk = y[k_ids]  # (C, U, B, d)
+        yk = jnp.where(kvalid[:, :, None, None], yk, 0.0)
+        acc = b_ext[cols] - jnp.einsum("cubij,cubj->cbi", ljk, yk)
+        yj = _fwd_sub(lflat[dslots], acc, d)
+        return y.at[cols].set(yj), None
+
+    for run in sched.level_runs:
+        y, _ = jax.lax.scan(fwd_body, y, _run_xs(run, _RUN_FWD_KEYS))
+
+    x = jnp.zeros_like(y)
+    if sched.tail_k:
+        y_real = _tail_fwd_solve(sched, lflat, y[:n], b_perm)
+        y = y.at[:n].set(y_real)
+        x = x.at[sched.n_head : n].set(
+            _tail_bwd_solve(sched, lflat, y_real)
+        )
+
+    def bwd_body(x, t):
+        c_slots, row_ids, row_valid, cols = t
+        lcol = lflat[c_slots]  # (C, R, B, d, d)
+        xr = x[row_ids]
+        below = row_valid & (jnp.arange(row_valid.shape[1])[None, :] > 0)
+        xr = jnp.where(below[:, :, None, None], xr, 0.0)
+        acc = y[cols] - jnp.einsum("crbij,crbi->cbj", lcol, xr)
+        xj = _bwd_sub(jnp.swapaxes(lcol[:, 0], -1, -2), acc, d)
+        return x.at[cols].set(xj), None
+
+    for run in reversed(sched.level_runs):
+        x, _ = jax.lax.scan(
+            bwd_body, x, _run_xs(run, _RUN_BWD_KEYS), reverse=True
+        )
+    return x[:n][sched.iperm]
+
+
 def _factorize_scan(sched: NumericSchedule, ata_flat):
     sym = sched.sym
     bsz = ata_flat.shape[1]
@@ -476,6 +752,8 @@ def _factorize_scan(sched: NumericSchedule, ata_flat):
 def solve_with_factor(sched: NumericSchedule, lflat, atb):
     """Solve H x = atb given L. atb (n, B, d) original var order -> x same."""
     if sched.use_levels:
+        if _use_runs(sched):
+            return _solve_level_runs(sched, lflat, atb)
         if _pallas_level_ok(sched, lflat):
             from .. import config as _config
 
