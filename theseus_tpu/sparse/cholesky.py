@@ -94,44 +94,17 @@ class NumericSchedule:
         self.n_head = sym.tail_start if sym.tail_start >= 0 else n
         self.tail_k = n - self.n_head
         nh = self.n_head
-        rmax = max((len(sym.col_rows[j]) for j in range(nh)), default=1)
-        umax = max(
-            (int((sym.upd_k[j] >= 0).sum()) for j in range(nh)), default=1
-        )
-        umax = max(umax, 1)
 
-        a_src = np.zeros((nh, rmax), dtype=np.int64)
-        a_tr = np.zeros((nh, rmax), dtype=bool)
-        valid = np.zeros((nh, rmax), dtype=bool)
-        for j in range(nh):
-            pj = int(sym.perm[j])
-            for t, r in enumerate(sym.col_rows[j]):
-                pr = int(sym.perm[int(r)])
-                lo, hi = (pr, pj) if pr <= pj else (pj, pr)
-                s = pattern.pair_slot.get((lo, hi), 0)
-                a_src[j, t] = s
-                a_tr[j, t] = pr > pj and s != 0
-                valid[j, t] = True
-
-        # numpy (not jnp) storage: NumericSchedule rides through
+        # numpy (not jnp) storage everywhere: NumericSchedule rides through
         # custom_vjp nondiff_argnums / static closures, so its tables must be
         # host constants that re-embed per trace (device arrays here leak
         # tracers across traces)
-        self.a_src = np.asarray(a_src)
-        self.a_tr = np.asarray(a_tr)
-        self.valid = np.asarray(valid)
-        self.col_slots = np.asarray(sym.col_slots[:nh, :rmax])
-        self.col_row_ids = np.asarray(
-            np.maximum(sym.col_row_ids[:nh, :rmax], 0)
+        self.diag_slots = np.asarray(
+            [sym.block_of[(j, j)] for j in range(nh)], dtype=np.int64
         )
-        self.row_valid = np.asarray(sym.col_row_ids[:nh, :rmax] >= 0)
-        self.upd_slots = np.asarray(sym.upd_slots[:nh, :umax, :rmax])
-        self.upd_jk_slots = np.asarray(sym.upd_jk_slots[:nh, :umax])
-        self.upd_k = np.asarray(np.maximum(sym.upd_k[:nh, :umax], 0))
-        self.upd_valid = np.asarray(sym.upd_k[:nh, :umax] >= 0)
-        self.diag_slots = np.asarray(sym.col_slots[:nh, 0])
         self.perm = np.asarray(sym.perm)
         self.iperm = np.asarray(sym.iperm)
+        self._rect = None  # global rectangles, built lazily (see below)
         self._build_tail_tables()
 
         # ---- per-level plan ------------------------------------------
@@ -147,34 +120,138 @@ class NumericSchedule:
         )
         self.level_tables = []
         if self.use_levels:
-            a_src_np = np.asarray(self.a_src)
-            a_tr_np = np.asarray(self.a_tr)
             for cols in sym.levels:
-                cols = np.asarray(cols)
-                rmax_l = max(len(sym.col_rows[int(j)]) for j in cols)
-                umax_l = max(
-                    1, max(int((sym.upd_k[int(j)] >= 0).sum()) for j in cols)
-                )
-                t = {
-                    "cols": cols,
-                    "a_src": a_src_np[cols][:, :rmax_l],
-                    "a_tr": a_tr_np[cols][:, :rmax_l],
-                    "valid": np.asarray(self.valid)[cols][:, :rmax_l],
-                    "col_slots": np.asarray(sym.col_slots)[cols][:, :rmax_l],
-                    "row_ids": np.asarray(self.col_row_ids)[cols][:, :rmax_l],
-                    "row_valid": np.asarray(self.row_valid)[cols][:, :rmax_l],
-                    "upd_slots": np.asarray(sym.upd_slots)[cols][:, :umax_l, :rmax_l],
-                    "jk_slots": np.asarray(sym.upd_jk_slots)[cols][:, :umax_l],
-                    "upd_k": np.asarray(self.upd_k)[cols][:, :umax_l],
-                    "upd_valid": np.asarray(self.upd_valid)[cols][:, :umax_l],
-                    "diag_slots": np.asarray(self.diag_slots)[cols],
-                }
-                self.level_tables.append(t)
+                self.level_tables.append(self._build_level_table(cols))
         # level RUNS: consecutive levels stacked into one lax.scan body each
         # (program size O(#runs) instead of O(#levels); config.LEVEL_RUNS)
         self.level_runs = (
             _build_level_runs(self.level_tables, n) if self.level_tables else []
         )
+
+    def _build_level_table(self, cols):
+        """Per-level tables built DIRECTLY from the symbolic lists, padded to
+        level-local maxima. (Building global (nh, umax, rmax) rectangles and
+        slicing them per level — the old path — allocated gigabytes at 10k+
+        columns whenever one fat column inflated umax/rmax; per-level padding
+        is O(exact fill).)"""
+        sym, pattern = self.sym, self.pattern
+        block_of = sym.block_of
+        cols = np.asarray(cols)
+        C = len(cols)
+        rmax_l = max(len(sym.col_rows[int(j)]) for j in cols)
+        umax_l = max(1, max(len(sym.upd_lists[int(j)]) for j in cols))
+
+        a_src = np.zeros((C, rmax_l), dtype=np.int64)
+        a_tr = np.zeros((C, rmax_l), dtype=bool)
+        valid = np.zeros((C, rmax_l), dtype=bool)
+        col_slots = np.zeros((C, rmax_l), dtype=np.int64)
+        row_ids = np.zeros((C, rmax_l), dtype=np.int64)
+        row_valid = np.zeros((C, rmax_l), dtype=bool)
+        upd_slots = np.zeros((C, umax_l, rmax_l), dtype=np.int64)
+        jk_slots = np.zeros((C, umax_l), dtype=np.int64)
+        upd_k = np.zeros((C, umax_l), dtype=np.int64)
+        upd_valid = np.zeros((C, umax_l), dtype=bool)
+        for idx, j in enumerate(cols):
+            j = int(j)
+            pj = int(sym.perm[j])
+            rows = sym.col_rows[j]
+            rpos = {int(r): t for t, r in enumerate(rows)}
+            for t, r in enumerate(rows):
+                r = int(r)
+                pr = int(sym.perm[r])
+                lo, hi = (pr, pj) if pr <= pj else (pj, pr)
+                s = pattern.pair_slot.get((lo, hi), 0)
+                a_src[idx, t] = s
+                a_tr[idx, t] = pr > pj and s != 0
+                valid[idx, t] = True
+                col_slots[idx, t] = block_of[(r, j)]
+                row_ids[idx, t] = r
+                row_valid[idx, t] = True
+            for u, k in enumerate(sym.upd_lists[j]):
+                jk_slots[idx, u] = block_of[(j, k)]
+                upd_k[idx, u] = k
+                upd_valid[idx, u] = True
+                for r in sym.col_rows[k]:
+                    r = int(r)
+                    if r in rpos:
+                        upd_slots[idx, u, rpos[r]] = block_of[(r, k)]
+        return {
+            "cols": cols,
+            "a_src": a_src,
+            "a_tr": a_tr,
+            "valid": valid,
+            "col_slots": col_slots,
+            "row_ids": row_ids,
+            "row_valid": row_valid,
+            "upd_slots": upd_slots,
+            "jk_slots": jk_slots,
+            "upd_k": upd_k,
+            "upd_valid": upd_valid,
+            "diag_slots": np.asarray(
+                [sym.block_of[(int(j), int(j))] for j in cols], dtype=np.int64
+            ),
+        }
+
+    # ---- global per-column rectangles (scan plan + pallas_whole) -------
+    # Built lazily: the level plan never needs them, and at 10k+ columns
+    # they are the dominant symbolic-analysis cost.
+    def _build_rect(self):
+        if self._rect is not None:
+            return self._rect
+        sym, pattern = self.sym, self.pattern
+        block_of = sym.block_of
+        nh = self.n_head
+        rmax = max((len(sym.col_rows[j]) for j in range(nh)), default=1)
+        umax = max((len(sym.upd_lists[j]) for j in range(nh)), default=1)
+        umax = max(umax, 1)
+        r = {
+            "a_src": np.zeros((nh, rmax), dtype=np.int64),
+            "a_tr": np.zeros((nh, rmax), dtype=bool),
+            "valid": np.zeros((nh, rmax), dtype=bool),
+            "col_slots": np.zeros((nh, rmax), dtype=np.int64),
+            "col_row_ids": np.zeros((nh, rmax), dtype=np.int64),
+            "row_valid": np.zeros((nh, rmax), dtype=bool),
+            "upd_slots": np.zeros((nh, umax, rmax), dtype=np.int64),
+            "upd_jk_slots": np.zeros((nh, umax), dtype=np.int64),
+            "upd_k": np.zeros((nh, umax), dtype=np.int64),
+            "upd_valid": np.zeros((nh, umax), dtype=bool),
+        }
+        for j in range(nh):
+            pj = int(sym.perm[j])
+            rows = sym.col_rows[j]
+            rpos = {int(rr): t for t, rr in enumerate(rows)}
+            for t, rr in enumerate(rows):
+                rr = int(rr)
+                pr = int(sym.perm[rr])
+                lo, hi = (pr, pj) if pr <= pj else (pj, pr)
+                s = pattern.pair_slot.get((lo, hi), 0)
+                r["a_src"][j, t] = s
+                r["a_tr"][j, t] = pr > pj and s != 0
+                r["valid"][j, t] = True
+                r["col_slots"][j, t] = block_of[(rr, j)]
+                r["col_row_ids"][j, t] = rr
+                r["row_valid"][j, t] = True
+            for u, k in enumerate(sym.upd_lists[j]):
+                r["upd_jk_slots"][j, u] = block_of[(j, k)]
+                r["upd_k"][j, u] = k
+                r["upd_valid"][j, u] = True
+                for rr in sym.col_rows[k]:
+                    rr = int(rr)
+                    if rr in rpos:
+                        r["upd_slots"][j, u, rpos[rr]] = block_of[(rr, k)]
+        self._rect = r
+        return r
+
+    a_src = property(lambda self: self._build_rect()["a_src"])
+    a_tr = property(lambda self: self._build_rect()["a_tr"])
+    valid = property(lambda self: self._build_rect()["valid"])
+    col_slots = property(lambda self: self._build_rect()["col_slots"])
+    col_row_ids = property(lambda self: self._build_rect()["col_row_ids"])
+    row_valid = property(lambda self: self._build_rect()["row_valid"])
+    upd_slots = property(lambda self: self._build_rect()["upd_slots"])
+    upd_jk_slots = property(lambda self: self._build_rect()["upd_jk_slots"])
+    upd_k = property(lambda self: self._build_rect()["upd_k"])
+    upd_valid = property(lambda self: self._build_rect()["upd_valid"])
 
 
     def _build_tail_tables(self):
@@ -196,8 +273,7 @@ class NumericSchedule:
         block_of = sym.block_of
 
         ext = [
-            [int(k) for k in sym.upd_k[nh + j] if 0 <= k < nh]
-            for j in range(K)
+            [int(k) for k in sym.tail_ext_upd[j]] for j in range(K)
         ]
         ue = max(1, max((len(e) for e in ext), default=1))
         self.tail_ue = ue

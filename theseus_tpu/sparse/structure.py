@@ -128,11 +128,9 @@ class SymbolicFactor:
     rmax: int  # max blocks per column
     umax: int  # max left-looking updates per column
     # flat-slot tables, shapes (n, rmax) / (n, umax, rmax) / (n, umax)
-    col_slots: np.ndarray  # slot of L[row, j] in Lflat (0 = unused)
-    col_row_ids: np.ndarray  # row index per (j, r) (-1 = unused)
-    upd_slots: np.ndarray  # (n, umax, rmax) slot of L[row_r, k_u] (0 pad)
-    upd_jk_slots: np.ndarray  # (n, umax) slot of L[j, k_u] (0 pad)
-    upd_k: np.ndarray  # (n, umax) the update column indices k (-1 pad)
+    # left-looking update columns per HEAD column j (k < j with (j,k) in L);
+    # rectangular gather tables are built lazily in NumericSchedule
+    upd_lists: List[List[int]]
     # solve schedules
     block_of: Dict[Tuple[int, int], int]  # (row, col) -> slot (lower tri)
     etree_parent: np.ndarray = None  # (n,) parent column or -1
@@ -142,6 +140,11 @@ class SymbolicFactor:
     # amalgamated to the full trailing set and the numeric layer factors
     # them with ONE batched dense POTRF. levels cover head columns only.
     tail_start: int = -1  # == n when no tail
+    # per tail column: EXTERNAL (head, k < tail_start) update columns.
+    # Stored as lists, not rectangular tables: at 10k+ columns the tail's
+    # update fan-in inflated the (n, umax, rmax) tables to gigabytes
+    # (measured 47.8 s of np.full at 10000 poses; head-only tables: 0.5 s).
+    tail_ext_upd: list = None
 
 
 def _choose_tail(n: int, col_rows, d: int) -> int:
@@ -184,9 +187,7 @@ def _score_symbolic(sym: "SymbolicFactor") -> float:
     score = 0.0
     for cols in sym.levels:
         rl = max(len(sym.col_rows[int(j)]) for j in cols)
-        ul = max(
-            1, max(int((sym.upd_k[int(j)] >= 0).sum()) for j in cols)
-        )
+        ul = max(1, max(len(sym.upd_lists[int(j)]) for j in cols))
         score += len(cols) * (ul * rl + rl) + DISPATCH
     K = sym.n - sym.tail_start
     if K > 0:
@@ -300,36 +301,21 @@ def symbolic_factor(
             block_of[(int(r), j)] = slot
             slot += 1
     nnz_l = slot - 1
-    rmax = max(len(r) for r in col_rows)
 
-    # left-looking updates: for column j, every k < j with (j, k) in L
+    # left-looking updates: for column j, every k < j with (j, k) in L.
+    # Stored as LISTS; the rectangular gather tables are built lazily (and
+    # only per level / per plan) by NumericSchedule — padding everything to
+    # the fattest column's (umax, rmax) here cost gigabytes of np.full at
+    # 10k+ columns (measured 47.8 s at 10000 poses).
+    nh = tail_start
     upd_lists: List[List[int]] = [[] for _ in range(n)]
-    for k in range(n):
+    for k in range(nh):  # tail-internal updates are subsumed by the POTRF
         for r in col_rows[k][1:]:
             upd_lists[int(r)].append(k)
-    umax = max((len(u) for u in upd_lists), default=1)
-    umax = max(umax, 1)
+    tail_ext_upd = [upd_lists[nh + j] for j in range(tail_k)]
 
-    col_slots = np.zeros((n, rmax), dtype=np.int64)
-    col_row_ids = np.full((n, rmax), -1, dtype=np.int64)
-    upd_slots = np.zeros((n, umax, rmax), dtype=np.int64)
-    upd_jk_slots = np.zeros((n, umax), dtype=np.int64)
-    upd_k = np.full((n, umax), -1, dtype=np.int64)
-
-    for j in range(n):
-        rows = col_rows[j]
-        rpos = {int(r): t for t, r in enumerate(rows)}
-        for t, r in enumerate(rows):
-            col_slots[j, t] = block_of[(int(r), j)]
-            col_row_ids[j, t] = int(r)
-        for u, k in enumerate(upd_lists[j]):
-            upd_jk_slots[j, u] = block_of[(j, k)]
-            upd_k[j, u] = k
-            # rows of column k that are also rows of column j (>= j)
-            for r in col_rows[k]:
-                r = int(r)
-                if r in rpos:
-                    upd_slots[j, u, rpos[r]] = block_of[(r, k)]
+    rmax = max((len(col_rows[j]) for j in range(nh)), default=1)
+    umax = max(1, max((len(upd_lists[j]) for j in range(nh)), default=1))
 
     # elimination tree + level schedule: parent(j) = first below-diag row of
     # column j; level(j) = 1 + max(level(children)); columns within a level
@@ -363,13 +349,10 @@ def symbolic_factor(
         nnz_l=nnz_l,
         rmax=rmax,
         umax=umax,
-        col_slots=col_slots,
-        col_row_ids=col_row_ids,
-        upd_slots=upd_slots,
-        upd_jk_slots=upd_jk_slots,
-        upd_k=upd_k,
+        upd_lists=upd_lists,
         block_of=block_of,
         etree_parent=etree_parent,
         levels=levels,
         tail_start=tail_start,
+        tail_ext_upd=tail_ext_upd,
     )
