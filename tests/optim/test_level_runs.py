@@ -147,3 +147,26 @@ def test_full_lm_solve_unchanged_under_runs(force_runs):
         np.asarray(list(out_ref.values())[0]),
         rtol=1e-8, atol=1e-10,
     )
+
+
+def test_sample_with_factor_under_runs(force_runs):
+    """Sampling back-substitution parity: runs vs unrolled levels."""
+    from theseus_tpu.sparse.assemble import apply_block_damping
+    from theseus_tpu.sparse.cholesky import factorize, sample_with_factor
+
+    bld, ns = _pgo_system(n_poses=48, batch=2)
+    sched = bld.sched
+    ata = apply_block_damping(bld.pattern, ns.ata, 1e-3, False,
+                              bld.damping_eps)
+    lflat = factorize(sched, ata)
+    y = jnp.asarray(
+        np.random.default_rng(0).normal(
+            size=(sched.sym.n, 2, bld.pattern.d)
+        )
+    )
+    x_runs = sample_with_factor(sched, lflat, y)
+    tt_config.set_level_runs(False)
+    x_ref = sample_with_factor(sched, lflat, y)
+    np.testing.assert_allclose(
+        np.asarray(x_runs), np.asarray(x_ref), rtol=1e-10, atol=1e-12
+    )

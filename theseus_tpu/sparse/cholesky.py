@@ -975,16 +975,45 @@ def _bwd_scan(sched: NumericSchedule, lflat, y):
     return x
 
 
+def _bwd_runs(sched: NumericSchedule, lflat, y):
+    """L^T x = y in internal order via per-run scans (XLA path); y (n, B, d).
+    Dense tail first, then head runs in reverse."""
+    n = sched.sym.n
+    d = y.shape[-1]
+    bsz = y.shape[1]
+    y_ext = jnp.concatenate([y, jnp.zeros((1, bsz, d), y.dtype)], axis=0)
+    x = jnp.zeros_like(y_ext)
+    if sched.tail_k:
+        x = x.at[sched.n_head : n].set(_tail_bwd_solve(sched, lflat, y))
+
+    def bwd_body(x, t):
+        c_slots, row_ids, row_valid, cols = t
+        lcol = lflat[c_slots]
+        xr = x[row_ids]
+        below = row_valid & (jnp.arange(row_valid.shape[1])[None, :] > 0)
+        xr = jnp.where(below[:, :, None, None], xr, 0.0)
+        acc = y_ext[cols] - jnp.einsum("crbij,crbi->cbj", lcol, xr)
+        xj = _bwd_sub(jnp.swapaxes(lcol[:, 0], -1, -2), acc, d)
+        return x.at[cols].set(xj), None
+
+    for run in reversed(sched.level_runs):
+        x, _ = jax.lax.scan(
+            bwd_body, x, _run_xs(run, _RUN_BWD_KEYS), reverse=True
+        )
+    return x[:n]
+
+
 def sample_with_factor(sched: NumericSchedule, lflat, y):
     """y (n, B, d) iid N(0,1) -> x = P^T L^{-T} y with cov H^{-1}, original
     variable order. Backward substitution only — posterior sampling (LEO,
     reference theseus_layer.py:99-135) at sparse cost: H = P^T L L^T P, so
     cov(P^T L^{-T} y) = P^T (L L^T)^{-1} P = H^{-1}."""
-    x = (
-        _bwd_levels(sched, lflat, y)
-        if sched.use_levels
-        else _bwd_scan(sched, lflat, y)
-    )
+    if sched.use_levels and _use_runs(sched):
+        x = _bwd_runs(sched, lflat, y)
+    elif sched.use_levels:
+        x = _bwd_levels(sched, lflat, y)
+    else:
+        x = _bwd_scan(sched, lflat, y)
     return x[sched.iperm]
 
 
