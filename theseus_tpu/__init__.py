@@ -110,10 +110,40 @@ from .optim import (
     GaussNewton,
     LevenbergMarquardt,
     LinearOptimizer,
+    NonlinearLeastSquares,
     NonlinearOptimizerStatus,
     OptimizerInfo,
     VariableOrdering,
 )
 from .optim.gaussian import ManifoldGaussian, local_gaussian, retract_gaussian
+from .core.functional import (
+    adjoint,
+    between,
+    compose,
+    exp_map,
+    inverse,
+    local,
+    log_map,
+    rand_point2,
+    rand_point3,
+    rand_se2,
+    rand_se3,
+    rand_so2,
+    rand_so3,
+    rand_vector,
+    randn_point2,
+    randn_point3,
+    randn_se2,
+    randn_se3,
+    randn_so2,
+    randn_so3,
+    randn_vector,
+    retract,
+)
+from .lie.checks import (
+    enable_lie_group_check,
+    no_lie_group_check,
+    set_lie_group_check_enabled,
+)
 
 __version__ = "0.1.0"

@@ -48,6 +48,10 @@ class enable_checks(set_lie_group_check_enabled):
         super().__init__(True)
 
 
+# reference-name alias (theseus/__init__.py exports enable_lie_group_check)
+enable_lie_group_check = enable_checks
+
+
 def _is_concrete(x) -> bool:
     return not isinstance(x, jax.core.Tracer)
 
