@@ -101,6 +101,17 @@ _SLOW_NODEIDS = {
     "tests/lie/test_ops.py::test_jcompose_jinverse_jlocal_vs_fd[SO3]",
     "tests/optim/test_bundle_adjustment.py::test_ba_converges[sparse]",
     "tests/optim/test_sparse.py::test_block_cholesky_matches_dense[6-3-2-amd]",
+    # round-3 additions (measured on the same box)
+    "tests/optim/test_level_runs.py::test_pallas_kernels_inside_run_scan_interpret",
+    "tests/optim/test_level_runs.py::test_run_solve_with_dense_tail",
+    "tests/optim/test_level_runs.py::test_run_gradients_match_unrolled",
+    "tests/optim/test_level_runs.py::test_full_lm_solve_unchanged_under_runs",
+    "tests/optim/test_gbp.py::test_gbp_optimizer_converges_loopy",
+    "tests/optim/test_gbp.py::test_gbp_layer_backward_modes",
+    "tests/optim/test_gbp.py::test_gbp_marginals_exact_on_tree",
+    "tests/parallel/test_gbp_sharding.py::test_gbp_sharded_solution_parity",
+    "tests/kin/test_ik.py::test_ik_outer_gradient_flows",
+    "tests/test_tutorials_smoke.py::test_tutorial[06_gaussian_belief_propagation.py]",
 }
 
 

@@ -170,3 +170,34 @@ def test_sample_with_factor_under_runs(force_runs):
     np.testing.assert_allclose(
         np.asarray(x_runs), np.asarray(x_ref), rtol=1e-10, atol=1e-12
     )
+
+
+def test_pallas_kernels_inside_run_scan_interpret(monkeypatch):
+    """The Pallas per-level kernels composed INSIDE the run lax.scan
+    (interpret mode on CPU) match the XLA runs path — de-risks the
+    compiled-Mosaic-in-scan composition before it hits hardware."""
+    from theseus_tpu.sparse import cholesky as ch
+    from theseus_tpu.sparse.assemble import apply_block_damping
+
+    bld, ns = _pgo_system(n_poses=64, batch=4, dtype=jnp.float32)
+    sched = bld.sched
+    ata = apply_block_damping(bld.pattern, ns.ata, 1e-3, False,
+                              bld.damping_eps)
+    tt_config.set_level_runs(True)
+    try:
+        l_ref = ch._factorize_level_runs(sched, ata)  # XLA bodies
+        monkeypatch.setattr(ch, "_pallas_run_ok", lambda *a, **k: True)
+        monkeypatch.setattr(tt_config, "_PALLAS_INTERPRET", True)
+        l_pal = ch._factorize_level_runs(sched, ata)
+        np.testing.assert_allclose(
+            np.asarray(l_pal), np.asarray(l_ref), atol=2e-5
+        )
+        atb = ns.atb_blocks
+        x_pal = ch._solve_level_runs(sched, l_ref, atb)
+        monkeypatch.setattr(ch, "_pallas_run_ok", lambda *a, **k: False)
+        x_ref = ch._solve_level_runs(sched, l_ref, atb)
+        np.testing.assert_allclose(
+            np.asarray(x_pal), np.asarray(x_ref), atol=2e-4
+        )
+    finally:
+        tt_config.set_level_runs("auto")
