@@ -112,6 +112,9 @@ _SLOW_NODEIDS = {
     "tests/parallel/test_gbp_sharding.py::test_gbp_sharded_solution_parity",
     "tests/kin/test_ik.py::test_ik_outer_gradient_flows",
     "tests/test_tutorials_smoke.py::test_tutorial[06_gaussian_belief_propagation.py]",
+    "tests/core/test_covariances.py::test_covariances_match_oracle[dense]",
+    "tests/core/test_covariances.py::test_covariances_match_oracle[sparse]",
+    "tests/core/test_covariances.py::test_covariances_gbp_backend_tree",
 }
 
 
