@@ -255,7 +255,11 @@ def main():
     params, losses, wall = train(a.steps, a.batch, a.autograd_mode)
     print(f"corner err: first {losses[0]:.4f} -> best {min(losses):.4f} px "
           f"({wall / a.steps * 1e3:.0f} ms/step)")
-    assert min(losses) < losses[0], "training must reduce the corner error"
+    assert np.isfinite(losses).all(), "training diverged"
+    if a.steps >= 5:
+        # one or two Adam steps need not improve; at >=5 they must
+        # (the full 20-step run is recorded in results_homography.md)
+        assert min(losses) < losses[0], "training must reduce the corner error"
 
 
 if __name__ == "__main__":
