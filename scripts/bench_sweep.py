@@ -1,9 +1,15 @@
-"""Benchmark sweep across problem sizes/backends; writes BENCH_SWEEP.md.
+"""Benchmark sweep across problem sizes/backends (prints a table; appends a
+raw section to BENCH_SWEEP_RAW.md — BENCH_SWEEP.md itself is the curated
+document and is edited by hand).
 
 Per-LM-iteration device time via the marginal method (t(n+k) - t(n))/k to
-strip the remote-tunnel round trip. Run on the TPU:  python scripts/bench_sweep.py
+strip the remote-tunnel round trip, with eps-perturbed inputs per timed call
+(the remote executor serves bit-identical repeats from a result cache).
+
+Run on the TPU:  python scripts/bench_sweep.py [--configs 64x16:sparse,...]
 """
 
+import argparse
 import pathlib
 import sys
 import time
@@ -11,17 +17,19 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 import bench
 
 
-def per_iter_ms(layer, state, aux, base=2, extra=8):
+def per_iter_ms(layer, state, aux, base=2, extra=8, reps=3):
     opts = layer.optimizer.opts
 
     def make(n):
         @jax.jit
-        def fwd(state, aux):
+        def fwd(state, aux, eps):
+            state = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = layer.optimizer.init_carry(state, aux, opts)
             carry = layer.optimizer.run_scan(carry, aux, n, opts)
             return carry["err"]
@@ -29,45 +37,56 @@ def per_iter_ms(layer, state, aux, base=2, extra=8):
         return fwd
 
     f_a, f_b = make(base), make(base + extra)
-    np.asarray(f_a(state, aux))
-    np.asarray(f_b(state, aux))
+    np.asarray(f_a(state, aux, jnp.float32(0)))
+    np.asarray(f_b(state, aux, jnp.float32(0)))
 
-    def t(f):
+    def t(f, off):
         ts = []
-        for _ in range(3):
+        for i in range(reps):
+            eps = jnp.float32(1e-7 * (i + 1 + off))
             t0 = time.perf_counter()
-            np.asarray(f(state, aux))
+            np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (t(f_b) - t(f_a)) / extra * 1e3
+    return (t(f_b, 0) - t(f_a, reps)) / extra * 1e3
+
+
+DEFAULT = "64x16:dense,64x16:sparse,256x128:sparse,512x32:sparse"
 
 
 def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--configs", default=DEFAULT,
+                   help="comma list of NxB:backend (e.g. 2048x8:sparse)")
+    args = p.parse_args()
+    configs = []
+    for spec in args.configs.split(","):
+        shape, lin = spec.split(":")
+        n, b = (int(x) for x in shape.split("x"))
+        configs.append((n, b, lin))
+
     rows = []
-    configs = [
-        (64, 16, "dense"),
-        (64, 16, "sparse"),
-        (256, 128, "sparse"),
-        (512, 32, "sparse"),
-    ]
     for n_poses, batch, lin in configs:
         t0 = time.time()
-        layer, state, aux = bench.build(n_poses=n_poses, batch=batch, linearization=lin)
+        layer, state, aux = bench.build(
+            n_poses=n_poses, batch=batch, linearization=lin
+        )
         ms = per_iter_ms(layer, state, aux)
         rows.append((n_poses, batch, lin, ms, time.time() - t0))
         print(f"poses={n_poses:5d} batch={batch:4d} {lin:6s}: "
               f"{ms:7.2f} ms/iter  (total incl. compile {rows[-1][4]:.0f}s)",
               flush=True)
 
-    out = ["# Benchmark sweep — SE3 PGO, LM, TPU v5e (single chip)\n",
-           "| poses | batch | backend | ms / LM-iteration |",
-           "|---|---|---|---|"]
-    for n_poses, batch, lin, ms, _ in rows:
-        out.append(f"| {n_poses} | {batch} | {lin} | {ms:.2f} |")
-    out.append("\nReference (torch CPU, same machine): 60.88 ms/iter at 64/16 dense.")
-    pathlib.Path("BENCH_SWEEP.md").write_text("\n".join(out) + "\n")
-    print("wrote BENCH_SWEEP.md")
+    stamp = time.strftime("%Y-%m-%d %H:%M")
+    out = [f"\n## raw sweep {stamp} (platform={jax.default_backend()})\n",
+           "| poses | batch | backend | ms / LM-iteration | total incl. compile (s) |",
+           "|---|---|---|---|---|"]
+    for n_poses, batch, lin, ms, tot in rows:
+        out.append(f"| {n_poses} | {batch} | {lin} | {ms:.2f} | {tot:.0f} |")
+    with open("BENCH_SWEEP_RAW.md", "a") as f:
+        f.write("\n".join(out) + "\n")
+    print("appended to BENCH_SWEEP_RAW.md (curate into BENCH_SWEEP.md)")
 
 
 if __name__ == "__main__":
