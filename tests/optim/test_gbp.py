@@ -197,3 +197,21 @@ def test_gbp_rejects_duplicate_var_costs():
     )
     with pytest.raises(ValueError, match="same variable"):
         GBPNormalBuilder(obj.compile())
+
+
+def test_gbp_per_call_msg_iters_override():
+    """forward(optimizer_kwargs={"msg_iters": ...}) must actually change
+    the message schedule (regression: the builder's defaults used to win)."""
+    obj, _, _ = _chain(n=5, batch=1)
+    gbp = tt.GaussianBeliefPropagation(
+        obj, max_iterations=6, msg_iters=1, msg_damping=0.0
+    )
+    layer = tt.TheseusLayer(gbp)
+    _, info_weak = layer.forward(obj.default_values())
+    _, info_strong = layer.forward(
+        obj.default_values(), {"msg_iters": 30}
+    )
+    assert float(jnp.max(info_strong.last_err)) < 1e-8
+    assert float(jnp.max(info_strong.last_err)) < 0.01 * float(
+        jnp.max(info_weak.last_err)
+    )

@@ -185,10 +185,11 @@ class GBPNormal:
             new_msgs.append(tuple(out_bucket))
         return tuple(new_msgs)
 
-    def _priors(self, damping, rhs_shift):
+    def _priors(self, damping, rhs_shift, ridge_val=None):
         bld = self.builder
         eye = jnp.eye(bld.d, dtype=self.dtype)
-        ridge = bld.opts_ridge + jnp.asarray(
+        base_ridge = bld.opts_ridge if ridge_val is None else ridge_val
+        ridge = base_ridge + jnp.asarray(
             damping, self.dtype
         ).reshape((-1,) + (1,) * 2) * jnp.ones(
             (self.bsz, 1, 1), self.dtype
@@ -205,9 +206,13 @@ class GBPNormal:
             prior_eta = prior_eta - bld.unflatten(rhs_shift)
         return prior_lam, prior_eta
 
-    def _run(self, damping, rhs_shift=None):
+    def _run(self, damping, rhs_shift=None, msg_iters=None, msg_damping=None,
+             ridge=None):
+        """Per-call overrides (msg_iters/msg_damping/ridge) let
+        `forward(optimizer_kwargs={"msg_iters": ...})` take effect — the
+        builder only provides defaults."""
         bld = self.builder
-        prior_lam, prior_eta = self._priors(damping, rhs_shift)
+        prior_lam, prior_eta = self._priors(damping, rhs_shift, ridge)
         msgs = tuple(
             tuple(
                 (jnp.zeros_like(e), jnp.zeros_like(_blk(lam_b, s, s)))
@@ -215,19 +220,22 @@ class GBPNormal:
             )
             for eta_b, lam_b in zip(self.etas, self.lams)
         )
-        alpha = bld.msg_damping
+        alpha = bld.msg_damping if msg_damping is None else float(msg_damping)
+        iters = bld.msg_iters if msg_iters is None else int(msg_iters)
 
         def body(msgs, _):
             return self._sweep(msgs, prior_lam, prior_eta, alpha), None
 
-        msgs, _ = jax.lax.scan(body, msgs, None, length=bld.msg_iters)
+        msgs, _ = jax.lax.scan(body, msgs, None, length=iters)
         lam_v, eta_v = self._beliefs(msgs, prior_lam, prior_eta)
         return lam_v, eta_v
 
-    def solve(self, damping=0.0, ellipsoidal=False, rhs_shift=None):
+    def solve(self, damping=0.0, ellipsoidal=False, rhs_shift=None,
+              msg_iters=None, msg_damping=None, ridge=None):
         # ellipsoidal damping has no distributed analog here; the scalar
         # damping enters as a per-variable diagonal prior instead
-        lam_v, eta_v = self._run(damping, rhs_shift)
+        lam_v, eta_v = self._run(damping, rhs_shift, msg_iters, msg_damping,
+                                 ridge)
         dx = jnp.linalg.solve(lam_v, eta_v[..., None])[..., 0]  # (n, B, d)
         dx = dx * jnp.asarray(self.builder.dof_mask_np, dx.dtype)[:, None, :]
         delta = self.builder.flatten(dx)
@@ -367,7 +375,12 @@ class GaussianBeliefPropagation(NonlinearLeastSquares):
         return self._normal_builder
 
     def compute_delta(self, ns, damping, opts):
-        return ns.solve(0.0, False)
+        return ns.solve(
+            0.0, False,
+            msg_iters=getattr(opts, "msg_iters", None),
+            msg_damping=getattr(opts, "msg_damping", None),
+            ridge=getattr(opts, "gbp_ridge", None),
+        )
 
     # -- posterior marginals ---------------------------------------------
     def marginals(self, values=None, input_tensors=None
