@@ -4,6 +4,7 @@ between an image pair by minimizing the per-pixel intensity residual with LM;
 the residual is an AutoDiffCostFunction over bilinear sampling (the
 reference's grid_sample ablation collapses to one trace-time vmap here)."""
 
+import argparse
 import pathlib
 import sys
 
@@ -13,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import _config
 import theseus_tpu as tt
 from theseus_tpu.utils.warp import bilinear_sample, homography_transform, image_grid
 
@@ -27,9 +29,16 @@ def smooth_image(key, h, w, octaves=4):
     return img / img.max()
 
 
-def main():
-    h, w = 60, 80
-    key = jax.random.PRNGKey(0)
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--height", type=int, default=60)
+    p.add_argument("--width", type=int, default=80)
+    p.add_argument("--max-iterations", type=int, default=60)
+    p.add_argument("--seed", type=int, default=0)
+    args = _config.parse_with_config(p, argv)
+
+    h, w = args.height, args.width
+    key = jax.random.PRNGKey(args.seed)
     img1 = smooth_image(key, h, w)
 
     h_true = jnp.asarray([1.02, 0.01, 1.5, -0.02, 0.98, -1.0, 1e-4, -5e-5])
@@ -56,7 +65,8 @@ def main():
             [h8], patch.shape[0], err_fn, aux_vars=[img_var, tgt_var], name="photo"
         )
     )
-    opt = tt.LevenbergMarquardt(obj, max_iterations=60, adaptive_damping=True)
+    opt = tt.LevenbergMarquardt(obj, max_iterations=args.max_iterations,
+                                adaptive_damping=True)
     layer = tt.TheseusLayer(opt)
     init = jnp.asarray([[1.0, 0, 0, 0, 1.0, 0, 0, 0]])
     values, info = layer.forward({"h8": init})

@@ -2,6 +2,7 @@
 examples/inverse_kinematics.py): the residual is the local() difference
 between the FK end-effector pose and a target SE3 pose."""
 
+import argparse
 import pathlib
 import sys
 
@@ -11,6 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+import _config
 import theseus_tpu as tt
 from theseus_tpu import lie
 from theseus_tpu.kin import Robot, get_forward_kinematics_fns
@@ -43,12 +45,18 @@ PANDA_ISH = """
 """
 
 
-def main():
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--max-iterations", type=int, default=50)
+    p.add_argument("--target-joints", type=float, nargs=5,
+                   default=[0.4, -0.6, 0.8, 0.3, -0.5])
+    args = _config.parse_with_config(p, argv)
+
     robot = Robot.from_urdf_string(PANDA_ISH)
     fk, jfk_b, _ = get_forward_kinematics_fns(robot, ["ee"])
 
     # target pose from a known joint configuration
-    theta_target = jnp.asarray([0.4, -0.6, 0.8, 0.3, -0.5])
+    theta_target = jnp.asarray(args.target_joints)
     (target_pose,) = fk(theta_target)
 
     theta_var = tt.Vector(robot.dof, name="theta")
@@ -62,7 +70,8 @@ def main():
 
     obj = tt.Objective()
     obj.add(tt.AutoDiffCostFunction([theta_var], 6, ik_err, aux_vars=[target], name="ik"))
-    opt = tt.LevenbergMarquardt(obj, max_iterations=50, adaptive_damping=True)
+    opt = tt.LevenbergMarquardt(obj, max_iterations=args.max_iterations,
+                                adaptive_damping=True)
     layer = tt.TheseusLayer(opt)
 
     values, info = layer.forward({"theta": jnp.zeros((1, robot.dof))})

@@ -2,6 +2,7 @@
 examples/se2_planning.py): plan SE2 poses + velocities from start to goal,
 penalizing sideways velocity."""
 
+import argparse
 import pathlib
 import sys
 
@@ -10,13 +11,21 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax.numpy as jnp
 import numpy as np
 
+import _config
 import theseus_tpu as tt
 from theseus_tpu.embodied import DoubleIntegrator, Nonholonomic
 
 
-def main():
-    n = 16
-    dt = 0.25
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-steps", type=int, default=16)
+    p.add_argument("--dt", type=float, default=0.25)
+    p.add_argument("--max-iterations", type=int, default=80)
+    p.add_argument("--nonholonomic-weight", type=float, default=50.0)
+    args = _config.parse_with_config(p, argv)
+
+    n = args.num_steps
+    dt = args.dt
     dtype = jnp.float64
     obj = tt.Objective(dtype=dtype)
 
@@ -32,7 +41,7 @@ def main():
     obj.add(tt.Local(vels[-1], jnp.zeros((1, 3), dtype), bw, name="vT"))
 
     dw = tt.ScaleCostWeight(jnp.asarray(5.0, dtype))
-    nw = tt.ScaleCostWeight(jnp.asarray(50.0, dtype))
+    nw = tt.ScaleCostWeight(jnp.asarray(args.nonholonomic_weight, dtype))
     for i in range(n - 1):
         obj.add(DoubleIntegrator(poses[i], vels[i], poses[i + 1], vels[i + 1], dt, dw,
                                  name=f"di_{i}"))
@@ -41,7 +50,8 @@ def main():
 
     init = {f"pose_{i}": start for i in range(n)}
     init.update({f"vel_{i}": jnp.zeros((1, 3), dtype) for i in range(n)})
-    opt = tt.LevenbergMarquardt(obj, max_iterations=80, adaptive_damping=True)
+    opt = tt.LevenbergMarquardt(obj, max_iterations=args.max_iterations,
+                                adaptive_damping=True)
     layer = tt.TheseusLayer(opt)
     values, info = layer.forward(init)
     print("status:", np.asarray(info.status), "final err:", float(info.last_err[0]))
