@@ -69,12 +69,16 @@ def per_iter_ms(layer, state, aux, base=2, extra=8):
     return (t(f_b) - t(f_a)) / extra * 1e3
 
 
-def main(sizes, batch):
+ALL_COMBOS = {"off": (False, False), "on": (True, False), "on+pallas": (True, "auto")}
+
+
+def main(sizes, batch, combos=None):
     from theseus_tpu import config
 
+    combos = [ALL_COMBOS[c] for c in (combos or list(ALL_COMBOS))]
     rows = []
     for n_poses in sizes:
-        for vec, pallas in ((False, False), (True, False), (True, "auto")):
+        for vec, pallas in combos:
             config.set_use_pallas(pallas)
             try:
                 t0 = time.time()
@@ -114,5 +118,10 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--sizes", default="16,64")
     p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--combos", default=None,
+                   help="comma list of off,on,on+pallas (default all); lets "
+                        "the cheap vectorized rows land without waiting for "
+                        "the unvectorized compile at large sizes")
     a = p.parse_args()
-    main([int(s) for s in a.sizes.split(",")], a.batch)
+    main([int(s) for s in a.sizes.split(",")], a.batch,
+         a.combos.split(",") if a.combos else None)
