@@ -204,10 +204,17 @@ def set_pallas_whole(enabled: bool) -> None:
 # Mosaic kernel compile). "auto" enables runs when the level count is at
 # least LEVEL_RUN_MIN_LEVELS; True/False force.
 LEVEL_RUNS = "auto"
-# threshold chosen so the hardware-A/B-measured flagship shapes (64x16: 11
-# levels, 256x128: 13) keep their unrolled plan until runs are A/B-proven
-# there; sphere2500-class (17 levels) gets the compile win immediately
-LEVEL_RUN_MIN_LEVELS = 14
+# Hardware A/B (scripts/ab_level_runs.py, TPU v5e 2026-08-18):
+#   256x128 (13 levels): unrolled 2.92 ms/iter / 35.5s first call,
+#                        runs     3.10 ms/iter / 39.6s  (runs lose both)
+#   2500x1  (17 levels): unrolled 8.75 ms/iter / 42.2s,
+#                        runs    11.26 ms/iter / 25.1s  (runs trade 29%
+#                        runtime for a 40% compile win)
+# Production solves are repeated (layer inside a training loop), so auto
+# stays runtime-first: runs only kick in where the unrolled program would
+# be minutes of compile (very deep etrees). Single-shot / compile-latency-
+# critical users opt in with config.set_level_runs(True).
+LEVEL_RUN_MIN_LEVELS = 24
 LEVEL_RUN_WASTE = 2.5
 
 
