@@ -6,6 +6,7 @@ error/retract match the per-cost reference computation."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import theseus_tpu as tt
 from theseus_tpu.lie import se2
@@ -102,7 +103,12 @@ def test_vectorized_error_matches_per_cost():
     e_off = np.asarray(co_off.error(co_off.pack(values, b),
                                     co_off.build_aux(values, b)))
     np.testing.assert_allclose(e_vec, e_off, rtol=1e-12, atol=1e-12)
-    # restore the vectorized compilation for other users of this objective
+    # default-path compile() honors the explicit vectorize=False choice (the
+    # optimizer calls compile() internally on state packed for THIS schema)
+    # but warns so the regression is never silent; explicit True switches back
+    with pytest.warns(UserWarning, match="vectorize=False"):
+        assert not obj.compile()._vectorized
+    assert obj.compile(vectorize=True)._vectorized
     assert obj.compile()._vectorized
 
 

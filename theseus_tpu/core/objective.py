@@ -141,15 +141,37 @@ class Objective:
 
     def compile(self, vectorize: Optional[bool] = None) -> CompiledObjective:
         """vectorize: True = schema-bucketed (default), False = one bucket
-        per cost (Vectorize-off ablation analog). None means "the default,
-        vectorized" — an earlier explicit compile(vectorize=False) ablation
-        call is NOT silently reused (that would leave every subsequent
-        optimizer/TheseusLayer use on the one-bucket-per-cost compilation)."""
-        want = True if vectorize is None else vectorize
+        per cost (Vectorize-off ablation analog).
+
+        None means "whatever was explicitly chosen, else vectorized": an
+        EXPLICIT compile(vectorize=False) is honored by later default-path
+        calls (the optimizer/layer call compile() internally — recompiling
+        to vectorized there would mismatch state/aux already packed for the
+        unvectorized schema), but with a one-time warning so the large
+        compile/runtime regression of staying unvectorized is never
+        silent."""
+        if vectorize is not None:
+            self._explicit_vectorize = vectorize
+        want = getattr(self, "_explicit_vectorize", None)
+        if want is None:
+            want = True
         if (
             self._compiled is not None
             and getattr(self._compiled, "_vectorized", True) == want
         ):
+            if vectorize is None and want is False and not getattr(
+                self, "_warned_unvectorized", False
+            ):
+                import warnings
+
+                warnings.warn(
+                    "reusing an explicitly-requested vectorize=False "
+                    "compilation from the default path; call "
+                    "compile(vectorize=True) to return to schema-bucketed "
+                    "vectorization",
+                    stacklevel=2,
+                )
+                self._warned_unvectorized = True
             return self._compiled
         self._compiled = compile_objective(self, vectorize=want)
         self._compiled._vectorized = want
