@@ -86,12 +86,14 @@ def main(sizes, batch, combos=None):
                 ms = per_iter_ms(layer, state, aux)
                 compile_s = time.time() - t0
             except Exception as e:  # huge unvectorized traces can blow up
+                # record the failure class, not nan: a nan cell can't be told
+                # apart from "not yet measured" (ADVICE r3)
                 print(f"poses={n_poses} vec={vec} pallas={pallas}: FAILED {e}")
-                rows.append((n_poses, vec, pallas, float("nan"), float("nan")))
+                rows.append((n_poses, vec, pallas, f"failed ({type(e).__name__})", "-"))
                 continue
             finally:
                 config.set_use_pallas("auto")
-            rows.append((n_poses, vec, pallas, ms, compile_s))
+            rows.append((n_poses, vec, pallas, f"{ms:.2f}", f"{compile_s:.0f}"))
             print(f"poses={n_poses:4d} vectorize={vec!s:5s} pallas={pallas!s:5s}: "
                   f"{ms:8.2f} ms/iter (compile {compile_s:.0f}s)", flush=True)
 
@@ -104,7 +106,7 @@ def main(sizes, batch, combos=None):
             if len(cells) == 5 and cells[0].isdigit():
                 merged[(int(cells[0]), cells[1], cells[2])] = (cells[3], cells[4])
     for n, v, p, ms, cs in rows:
-        merged[(n, str(v), str(p))] = (f"{ms:.2f}", f"{cs:.0f}")
+        merged[(n, str(v), str(p))] = (ms, cs)
     with open(OUT, "w") as f:
         f.write("# Vectorization ablation (PGO SE3, batch %d)\n\n" % batch)
         f.write("| poses | vectorize | pallas | ms/LM-iter | compile (s) |\n")

@@ -43,8 +43,11 @@ def main(argv=None):
         max_iterations=args.max_iterations,
         adaptive_damping=True,
     )
-    start = jnp.asarray([[0.3, 1.6]], jnp.float64)
-    goal = jnp.asarray([[2.9, 1.6]], jnp.float64)
+    # start/goal derived from the map extent so non-default --map-size /
+    # --cell-size keep both inside the SDF (extent = map_size * cell_size)
+    extent = map_size * cell
+    start = jnp.asarray([[0.09375 * extent, 0.5 * extent]], jnp.float64)
+    goal = jnp.asarray([[0.90625 * extent, 0.5 * extent]], jnp.float64)
     values, info = planner.solve(
         start, goal,
         sdf_origin=jnp.zeros((1, 2), jnp.float64),

@@ -73,10 +73,14 @@ def _script_for(cfg_path: pathlib.Path) -> pathlib.Path:
 def test_committed_configs_bind(cfg, monkeypatch):
     """Every committed YAML's keys must match its script's argparse options.
 
-    Loads the script module far enough to build the parser by running its
-    main() with --help captured? Too heavy — instead, parse the script source
-    for add_argument option strings and check key membership (keeps the test
-    JAX-free and fast)."""
+    Parses the script source for add_argument option-string literals and
+    checks key membership (keeps the test JAX-free and fast). Known
+    limitation (accepted trade-off): a script that builds its parser through
+    a helper/loop would spuriously fail here, and a config key matching a
+    commented-out add_argument would spuriously pass — every current example
+    declares options as literals, so source-regexing is exact today; if an
+    example ever factors its parser, expose a build_parser() and import it
+    here instead."""
     script = _script_for(cfg)
     assert script.exists(), f"no example script for config {cfg}"
     import re

@@ -155,23 +155,27 @@ class Objective:
         want = getattr(self, "_explicit_vectorize", None)
         if want is None:
             want = True
+        # one-time "still unvectorized" warning on EVERY default path that
+        # honors an explicit vectorize=False — including a fresh compile
+        # after a structural change (add/erase resets _compiled to None),
+        # not just the cache-reuse branch
+        if vectorize is None and want is False and not getattr(
+            self, "_warned_unvectorized", False
+        ):
+            import warnings
+
+            warnings.warn(
+                "reusing an explicitly-requested vectorize=False "
+                "compilation from the default path; call "
+                "compile(vectorize=True) to return to schema-bucketed "
+                "vectorization",
+                stacklevel=2,
+            )
+            self._warned_unvectorized = True
         if (
             self._compiled is not None
             and getattr(self._compiled, "_vectorized", True) == want
         ):
-            if vectorize is None and want is False and not getattr(
-                self, "_warned_unvectorized", False
-            ):
-                import warnings
-
-                warnings.warn(
-                    "reusing an explicitly-requested vectorize=False "
-                    "compilation from the default path; call "
-                    "compile(vectorize=True) to return to schema-bucketed "
-                    "vectorization",
-                    stacklevel=2,
-                )
-                self._warned_unvectorized = True
             return self._compiled
         self._compiled = compile_objective(self, vectorize=want)
         self._compiled._vectorized = want

@@ -115,3 +115,31 @@ def shard_problem(co: CompiledObjective, state, aux, mesh: Mesh, axis: str = "dp
     state = jax.tree_util.tree_map(jax.device_put, state, sspec)
     aux = jax.tree_util.tree_map(jax.device_put, aux, aspec)
     return state, aux
+
+
+def shard_gbp_factors(normal, mesh: Mesh, axis: str = "factors"):
+    """Problem-axis sharding for GBP (beyond reference — SURVEY §2.9 has no
+    distributed analog): place each factor-message array (K, B, ...) with its
+    FACTOR axis K split over the mesh. One synchronous sweep is one batched
+    step over every factor, so computation partitions by factor while XLA
+    inserts the belief-aggregation collectives (the per-variable
+    scatter-adds become local scatter + all-reduce). Buckets whose K does
+    not divide the mesh are replicated (e.g. the single prior cost).
+
+    Returns a new GBPNormal with the same builder; run the solve under
+    `with mesh:` for parity with the unsharded program."""
+    from ..optim.gbp import GBPNormal
+
+    n_dev = len(mesh.devices.flat)
+
+    def put(leaf):
+        if leaf.shape[0] % n_dev == 0:
+            return jax.device_put(leaf, NamedSharding(mesh, P(axis)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    lams = tuple(
+        tuple(tuple(put(b) for b in row) for row in lam_b)
+        for lam_b in normal.lams
+    )
+    etas = tuple(tuple(put(e) for e in eta_b) for eta_b in normal.etas)
+    return GBPNormal(normal.builder, lams, etas, normal.dtype, normal.bsz)

@@ -203,6 +203,31 @@ def load_bal(path: str, batch: int = 1, dtype=jnp.float64) -> BAProblem:
     )
 
 
+def save_bal(path: str, prob: BAProblem, batch_index: int = 0) -> None:
+    """Write one batch element of a BAProblem in the BAL text format
+    (round-trip inverse of load_bal; the reference has no writer — loader at
+    /root/reference/theseus/utils/examples/bundle_adjustment/data.py:151)."""
+    poses = np.asarray(prob.poses[:, batch_index])  # (C,3,4)
+    aa = np.asarray(so3.log(jnp.asarray(poses[:, :, :3])))  # (C,3)
+    t = poses[:, :, 3]
+    f = np.asarray(prob.focals[:, batch_index, 0])
+    k1 = np.asarray(prob.k1[:, batch_index, 0])
+    k2 = np.asarray(prob.k2[:, batch_index, 0])
+    pts = np.asarray(prob.points[:, batch_index])  # (P,3)
+    obs_img = np.asarray(prob.obs_img[:, batch_index])  # (O,2)
+    with open(path, "w") as fh:
+        fh.write(f"{poses.shape[0]} {pts.shape[0]} {len(prob.obs_cam)}\n")
+        for o in range(len(prob.obs_cam)):
+            fh.write(f"{int(prob.obs_cam[o])} {int(prob.obs_pt[o])} "
+                     f"{obs_img[o, 0]:.17g} {obs_img[o, 1]:.17g}\n")
+        for c in range(poses.shape[0]):
+            for v in (*aa[c], *t[c], f[c], k1[c], k2[c]):
+                fh.write(f"{v:.17g}\n")
+        for p in range(pts.shape[0]):
+            for v in pts[p]:
+                fh.write(f"{v:.17g}\n")
+
+
 def build_ba_objective(
     prob: BAProblem,
     dtype=jnp.float64,
