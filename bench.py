@@ -19,13 +19,20 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 N_POSES = 64
 BATCH = 16
 N_ITERS = 10
-# per-LM-iteration ms of reference theseus (LM + dense Cholesky + Vectorize,
-# torch CPU f32, same 64-pose/batch-16 problem) measured on this machine via
-# scripts/bench_reference.py on 2026-08-16: 60.879 ms/iter.
-BASELINE_REF_MS = 60.879
+# per-LM-iteration ms of reference theseus on the STRONGEST backend that
+# runs on this machine (SparseLinearization + per-batch sparse f64 factor
+# loop, the CholmodSparseSolver architecture with scipy SuperLU standing in
+# for the uninstalled CHOLMOD), measured 2026-08-19 on the IDENTICAL problem
+# (scripts/dump_problem_npz.py -> scripts/bench_reference.py --solver
+# scipy_sparse, adaptive LM, fixed 10 iterations): 59.674 ms/iter.
+# The reference's own default (CholeskyDense) measured 75.834 ms/iter on the
+# same problem. Full sweep: evaluations/results_reference.md.
+BASELINE_REF_MS = 59.674
 
 # On-TPU correctness pin (VERDICT r2 weak #2: "bench.py times a solve whose
 # answer it never checks"): mean final per-batch error of the 10-iteration
@@ -85,7 +92,7 @@ def _time_iters(layer, state, aux, n_iters, reps=4):
     np.asarray(fwd(state, aux, jnp.float32(0)))  # compile + warmup
     ts = []
     for i in range(reps):
-        eps = jnp.float32(1e-7 * (i + 1))
+        eps = jnp.float32(fresh_eps(i))
         t0 = time.perf_counter()
         np.asarray(fwd(state, aux, eps))
         ts.append(time.perf_counter() - t0)

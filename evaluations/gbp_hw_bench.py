@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 OUT = pathlib.Path(__file__).resolve().parent / "results_gbp.md"
 
 
@@ -55,7 +57,7 @@ def time_solve(layer, state, aux, opts, n_outer, reps=3):
     np.asarray(fwd(state, aux, jnp.float32(0)))
     ts = []
     for i in range(reps):
-        eps = jnp.float32(1e-7 * (i + 1))
+        eps = jnp.float32(fresh_eps(i))
         t0 = time.perf_counter()
         np.asarray(fwd(state, aux, eps))
         ts.append(time.perf_counter() - t0)

@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 OUT = pathlib.Path(__file__).resolve().parent / "results_local_cost_backward.md"
 
 
@@ -54,11 +56,12 @@ def run_case(group, batch, backward, dtype=jnp.float32, reps=5, steps=10):
     reference's Adam-on-Parameter loop)."""
     layer, co, state, aux, a0 = build(group, batch, dtype)
     opts = layer.optimizer.opts
+    tk = group  # packed state is keyed by variable type ("SO3"/"SE3")
 
     if backward:
         def loss(a_in, eps):
             st = dict(state)
-            st["a"] = a_in * (1.0 + eps)
+            st[tk] = a_in * (1.0 + eps)
             carry = layer.solve_state(st, aux, "unroll", opts)
             return jnp.sum(carry["err"]), carry["err"]
 
@@ -68,7 +71,7 @@ def run_case(group, batch, backward, dtype=jnp.float32, reps=5, steps=10):
             return a_in - 0.01 * g, l
 
         def one(eps):
-            a_in = state["a"]
+            a_in = state[tk]
             for _ in range(steps):
                 a_in, l = step(a_in, eps)
             return np.asarray(l)
@@ -76,20 +79,20 @@ def run_case(group, batch, backward, dtype=jnp.float32, reps=5, steps=10):
         @jax.jit
         def fwd(a_in, eps):
             st = dict(state)
-            st["a"] = a_in * (1.0 + eps)
+            st[tk] = a_in * (1.0 + eps)
             carry = layer.solve_state(st, aux, "unroll", opts)
             return carry["err"]
 
         def one(eps):
             for _ in range(steps):
-                e = fwd(state["a"], eps)
+                e = fwd(state[tk], eps)
             return np.asarray(e)
 
     z = jnp.asarray(0, dtype)
     one(z)  # compile
     ts = []
     for i in range(reps):
-        eps = jnp.asarray(1e-7 * (i + 1), dtype)
+        eps = jnp.asarray(fresh_eps(i), dtype)
         t0 = time.perf_counter()
         one(eps)
         ts.append(time.perf_counter() - t0)

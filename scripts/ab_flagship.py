@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 import bench
 
 
@@ -40,7 +42,7 @@ def per_iter_ms(n_poses, batch, reps=4, base=10, extra=100, seed=0):
     def t(f, off):
         ts = []
         for i in range(reps):
-            eps = jnp.float32(1e-7 * (i + 1 + off))
+            eps = jnp.float32(fresh_eps(i + off))
             t0 = time.perf_counter()
             np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)

@@ -21,8 +21,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 import bench
 from theseus_tpu import config as tt_config
+
+# cold-compile fairness: the package enables a persistent compilation cache,
+# so whichever variant was compiled by an earlier session/stage would report
+# a warm "first call" while the other pays the real compile — disable it for
+# the A/B (both sides cold within this process)
+jax.config.update("jax_compilation_cache_dir", None)
 
 
 def measure(n_poses, batch, runs_mode, reps=3, base=4, extra=24, seed=0):
@@ -51,7 +59,7 @@ def measure(n_poses, batch, runs_mode, reps=3, base=4, extra=24, seed=0):
         def t(f, off):
             ts = []
             for i in range(reps):
-                eps = jnp.float32(1e-7 * (i + 1 + off))
+                eps = jnp.float32(fresh_eps(i + off))
                 tt = time.perf_counter()
                 np.asarray(f(state, aux, eps))
                 ts.append(time.perf_counter() - tt)

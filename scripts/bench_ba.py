@@ -21,16 +21,28 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 OUT = pathlib.Path(__file__).resolve().parents[1] / "BENCH_SWEEP.md"
 
 
-def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32):
+def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32,
+          schur_w="auto"):
     import theseus_tpu as tt
+    from theseus_tpu import config as tt_config
     from theseus_tpu.utils.examples.bundle_adjustment import (
         ba_values, build_ba_objective, load_bal, synthetic_ba)
 
+    # dense-W vs sparse-W A/B knob: the Schur elimination densifies W/Hcp
+    # onto the MXU only when it fits SCHUR_DENSE_BUDGET_BYTES; 0 forces the
+    # chunked sparse-W segment-reduction path
+    if schur_w == "sparse":
+        tt_config.set_schur_dense_budget(0)
+    elif schur_w == "dense":
+        tt_config.set_schur_dense_budget(64 << 30)
+
     if bal_path:
-        prob = load_bal(bal_path, dtype=dtype)
+        prob = load_bal(bal_path, batch=batch, dtype=dtype)
     else:
         prob = synthetic_ba(num_cameras=cameras, num_points=points,
                             visibility=0.4, batch=batch, dtype=dtype)
@@ -48,7 +60,9 @@ def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32):
     return layer, state, aux, prob
 
 
-def per_iter_ms(layer, state, aux, base=4, extra=24):
+def per_iter_ms(layer, state, aux, base=4, extra=24, want_flops=False):
+    """Marginal ms/iter; with want_flops also returns (flops/iter from the
+    compiled executables' own XLA cost analysis, first-call compile s)."""
     opts = layer.optimizer.opts
 
     def make(n):
@@ -64,21 +78,59 @@ def per_iter_ms(layer, state, aux, base=4, extra=24):
 
     f_a, f_b = make(base), make(base + extra)
     z = jnp.float32(0)
-    np.asarray(f_a(state, aux, z)); np.asarray(f_b(state, aux, z))
+    t0 = time.perf_counter()
+    np.asarray(f_a(state, aux, z))
+    compile_s = time.perf_counter() - t0
+    np.asarray(f_b(state, aux, z))
+    flops_iter = None
+    if want_flops:
+        try:
+            ca = lambda f, n: f.lower(state, aux, z).compile().cost_analysis()
+            fl_a = ca(f_a, base).get("flops", 0.0)
+            fl_b = ca(f_b, base + extra).get("flops", 0.0)
+            flops_iter = (fl_b - fl_a) / extra
+        except Exception:
+            flops_iter = float("nan")
 
     def t(f):
         ts = []
         for i in range(3):
-            eps = jnp.float32(1e-7 * (i + 1))
+            eps = jnp.float32(fresh_eps(i))
             t0 = time.perf_counter()
             np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (t(f_b) - t(f_a)) / extra * 1e3
+    ms = (t(f_b) - t(f_a)) / extra * 1e3
+    if want_flops:
+        return ms, flops_iter, compile_s
+    return ms
 
 
-def main(sizes, backends, bal_path):
+PEAK_F32 = 49.2e12  # TPU v5e fp32-equivalent MXU peak
+
+
+def profile_phases(layer, state, aux, backend):
+    """Per-phase marginal ms at this shape (chained-loop method, see
+    scripts/profile_flagship.py)."""
+    import importlib
+    pf = importlib.import_module("profile_flagship")
+    co = layer.optimizer.objective.compile()
+    nb = layer.optimizer.normal_builder
+
+    blocks = jax.jit(lambda s, a: co.linearize_blocks(s, a))(state, aux)
+    rows = [("linearize_blocks", pf.chained_ms(
+        lambda x: co.linearize_blocks(x[0], x[1]), (state, aux)))]
+    if backend == "schur":
+        rows.append(("schur build+solve", pf.chained_ms(
+            lambda x: nb.build(x[0], x[1]).solve(damping=1e-3)[0],
+            (state, aux))))
+    rows.append(("error metric", pf.chained_ms(
+        lambda x: co.error_metric(x[0], x[1]), (state, aux))))
+    return rows
+
+
+def main(sizes, backends, bal_path, batch=1, schur_w="auto", profile=False):
     rows = []
     if bal_path:
         sizes = [(0, 0)]
@@ -87,23 +139,34 @@ def main(sizes, backends, bal_path):
             t0 = time.time()
             try:
                 layer, state, aux, prob = build(cams, pts, backend,
-                                                bal_path=bal_path)
-                ms = per_iter_ms(layer, state, aux)
+                                                batch=batch,
+                                                bal_path=bal_path,
+                                                schur_w=schur_w)
+                ms, flops, compile_s = per_iter_ms(layer, state, aux,
+                                                   want_flops=True)
             except Exception as e:
                 print(f"cams={cams} pts={pts} {backend}: FAILED {e}")
                 continue
             nobs = len(prob.obs_cam)
-            rows.append((prob.num_cameras, prob.num_points, nobs, backend, ms))
+            mfu = (flops / (ms / 1e3) / PEAK_F32 * 100
+                   if flops and flops == flops else float("nan"))
+            rows.append((prob.num_cameras, prob.num_points, nobs, batch,
+                         backend, schur_w, ms, mfu, compile_s))
             print(f"cams={prob.num_cameras:4d} pts={prob.num_points:6d} "
-                  f"obs={nobs:6d} {backend:6s}: {ms:8.2f} ms/iter "
-                  f"(total {time.time()-t0:.0f}s)", flush=True)
+                  f"obs={nobs:6d} batch={batch} {backend:6s} W={schur_w}: "
+                  f"{ms:8.2f} ms/iter  MFU={mfu:.2f}%  "
+                  f"first-call {compile_s:.0f}s (total {time.time()-t0:.0f}s)",
+                  flush=True)
+            if profile:
+                for name, pms in profile_phases(layer, state, aux, backend):
+                    print(f"    {name:18s}: {pms:9.3f} ms", flush=True)
 
     with open(OUT, "a") as f:
         f.write("\n## Bundle adjustment (LM, single chip)\n\n")
-        f.write("| cameras | points | observations | backend | ms/LM-iter |\n")
-        f.write("|---|---|---|---|---|\n")
-        for c, p, o, b, ms in rows:
-            f.write(f"| {c} | {p} | {o} | {b} | {ms:.2f} |\n")
+        f.write("| cameras | points | observations | batch | backend | W | ms/LM-iter | MFU % | first-call compile s |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for c, p, o, bz, b, w, ms, mfu, cs in rows:
+            f.write(f"| {c} | {p} | {o} | {bz} | {b} | {w} | {ms:.2f} | {mfu:.2f} | {cs:.0f} |\n")
     print(f"appended to {OUT}")
 
 
@@ -112,6 +175,11 @@ if __name__ == "__main__":
     p.add_argument("--sizes", default="16x200,64x800")
     p.add_argument("--backends", default="schur,sparse")
     p.add_argument("--bal", default=None)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--schur-w", choices=["auto", "dense", "sparse"],
+                   default="auto")
+    p.add_argument("--profile", action="store_true")
     a = p.parse_args()
     sizes = [tuple(int(v) for v in s.split("x")) for s in a.sizes.split(",")]
-    main(sizes, a.backends.split(","), a.bal)
+    main(sizes, a.backends.split(","), a.bal, batch=a.batch,
+         schur_w=a.schur_w, profile=a.profile)

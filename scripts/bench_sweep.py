@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 import bench
 
 
@@ -37,19 +39,21 @@ def per_iter_ms(layer, state, aux, base=2, extra=8, reps=3):
         return fwd
 
     f_a, f_b = make(base), make(base + extra)
+    t0 = time.perf_counter()
     np.asarray(f_a(state, aux, jnp.float32(0)))
+    first_call_s = time.perf_counter() - t0  # trace + compile + first run
     np.asarray(f_b(state, aux, jnp.float32(0)))
 
     def t(f, off):
         ts = []
         for i in range(reps):
-            eps = jnp.float32(1e-7 * (i + 1 + off))
+            eps = jnp.float32(fresh_eps(i + off))
             t0 = time.perf_counter()
             np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    return (t(f_b, 0) - t(f_a, reps)) / extra * 1e3
+    return (t(f_b, 0) - t(f_a, reps)) / extra * 1e3, first_call_s
 
 
 DEFAULT = "64x16:dense,64x16:sparse,256x128:sparse,512x32:sparse"
@@ -72,18 +76,19 @@ def main():
         layer, state, aux = bench.build(
             n_poses=n_poses, batch=batch, linearization=lin
         )
-        ms = per_iter_ms(layer, state, aux)
-        rows.append((n_poses, batch, lin, ms, time.time() - t0))
+        ms, first_call_s = per_iter_ms(layer, state, aux)
+        rows.append((n_poses, batch, lin, ms, first_call_s, time.time() - t0))
         print(f"poses={n_poses:5d} batch={batch:4d} {lin:6s}: "
-              f"{ms:7.2f} ms/iter  (total incl. compile {rows[-1][4]:.0f}s)",
+              f"{ms:7.2f} ms/iter  first-call {first_call_s:.1f}s "
+              f"(total incl. build {rows[-1][5]:.0f}s)",
               flush=True)
 
     stamp = time.strftime("%Y-%m-%d %H:%M")
     out = [f"\n## raw sweep {stamp} (platform={jax.default_backend()})\n",
-           "| poses | batch | backend | ms / LM-iteration | total incl. compile (s) |",
-           "|---|---|---|---|---|"]
-    for n_poses, batch, lin, ms, tot in rows:
-        out.append(f"| {n_poses} | {batch} | {lin} | {ms:.2f} | {tot:.0f} |")
+           "| poses | batch | backend | ms / LM-iteration | first-call compile (s) | total incl. build (s) |",
+           "|---|---|---|---|---|---|"]
+    for n_poses, batch, lin, ms, fc, tot in rows:
+        out.append(f"| {n_poses} | {batch} | {lin} | {ms:.2f} | {fc:.1f} | {tot:.0f} |")
     with open("BENCH_SWEEP_RAW.md", "a") as f:
         f.write("\n".join(out) + "\n")
     print("appended to BENCH_SWEEP_RAW.md (curate into BENCH_SWEEP.md)")

@@ -22,6 +22,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import jax
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 import bench
 
 PEAK_F32 = 49.2e12  # v5e MXU fp32-equivalent
@@ -106,7 +108,7 @@ def main(n_poses, batch, linearization, base=2, extra=8):
         np.asarray(comp(state, aux, z))  # warm
         ts = []
         for i in range(5):
-            eps = jnp.float32(1e-7 * (i + 1))
+            eps = jnp.float32(fresh_eps(i))
             t0 = time.perf_counter()
             np.asarray(comp(state, aux, eps))
             ts.append(time.perf_counter() - t0)

@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 
 def build_pgo(data, dtype):
     import theseus_tpu as tt
@@ -104,7 +106,7 @@ def main():
     def t(f):
         ts = []
         for i in range(3):
-            eps = jnp.asarray(1e-7 * (i + 1), dtype)
+            eps = jnp.asarray(fresh_eps(i), dtype)
             t0 = time.perf_counter()
             np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)

@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from theseus_tpu.utils import fresh_eps
+
 import bench
 
 
@@ -58,7 +60,7 @@ def chained_ms(f, x, n1=2, n2=42, reps=5):
     def t(g):
         ts = []
         for i in range(reps):
-            eps = jnp.float32(1e-7 * (i + 1))
+            eps = jnp.float32(fresh_eps(i))
             t0 = time.perf_counter()
             jax.tree_util.tree_map(np.asarray, g(x, eps))
             ts.append(time.perf_counter() - t0)
@@ -137,7 +139,7 @@ def main(n_poses, batch):
     def t(f):
         ts = []
         for i in range(5):
-            eps = jnp.float32(1e-7 * (i + 1))
+            eps = jnp.float32(fresh_eps(i))
             t0 = time.perf_counter()
             np.asarray(f(state, aux, eps))
             ts.append(time.perf_counter() - t0)

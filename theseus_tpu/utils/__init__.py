@@ -6,4 +6,4 @@ from .checks import (
     gather_from_rows_cols,
     numeric_jacobian,
 )
-from .timer import Profiler, Timer
+from .timer import Profiler, Timer, fresh_eps

@@ -90,3 +90,17 @@ class Profiler:
     def dump(self, path: str):
         if self.enabled:
             self._prof.dump_stats(path)
+
+
+def fresh_eps(i: int, scale: float = 1e-7) -> float:
+    """A small input perturbation that is unique ACROSS PROCESSES.
+
+    The remote TPU executor caches results of bit-identical (program, input)
+    executions across processes and sessions; a fixed eps schedule like
+    1e-7*(i+1) collides with any earlier run of the same program on the same
+    state, and min-over-reps then picks a zero-cost cache hit (observed
+    2026-08-19: whole-iteration marginals collapsing to ~0.004 ms). Mixing
+    time_ns into the mantissa keeps every timed call unique while staying
+    O(scale) so the perturbation cannot change convergence behavior."""
+    salt = (time.time_ns() % 999_983) / 999_983.0  # (0, 1)
+    return scale * (i + 1 + salt)
