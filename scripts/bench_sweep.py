@@ -25,7 +25,11 @@ from theseus_tpu.utils import fresh_eps
 import bench
 
 
-def per_iter_ms(layer, state, aux, base=2, extra=8, reps=3):
+def per_iter_ms(layer, state, aux, base=2, extra=32, reps=3):
+    """Marginal window 2->34: the tunnel's ~100 ms per-call constant
+    jitters by +-4 ms, so an 8-iteration window carries +-0.5-1 ms/iter of
+    endpoint noise (observed: flagship readings scattered 1.6-3.0 ms/iter);
+    32 iterations amortize it to <0.15 ms/iter."""
     opts = layer.optimizer.opts
 
     def make(n):

@@ -35,7 +35,7 @@ def _dep(y):
     return s * 1e-30
 
 
-def chained_ms(f, x, n1=2, n2=42, reps=5):
+def chained_ms(f, x, n1=8, n2=520, reps=5):
     """ms per application of f, via chained fori_loop marginal timing.
     f: pytree -> pytree. The loop feeds a zero-valued dependency on each
     output back into the input so XLA executes every iteration. Every timed
@@ -132,7 +132,7 @@ def main(n_poses, batch):
             return carry["err"]
         return fwd
 
-    f2, f10, f26 = make(2), make(10), make(26)
+    f2, f10, f26 = make(2), make(34), make(98)
     for f in (f2, f10, f26):
         np.asarray(f(state, aux, jnp.float32(0.0)))
 
@@ -146,8 +146,8 @@ def main(n_poses, batch):
         return min(ts)
 
     t2, t10, t26 = t(f2), t(f10), t(f26)
-    print(f"{'full LM iter':18s}: {(t10 - t2) / 8:9.3f} ms "
-          f"({(t26 - t10) / 16:9.3f} ms over 10->26)")
+    print(f"{'full LM iter':18s}: {(t10 - t2) / 32:9.3f} ms "
+          f"({(t26 - t10) / 64:9.3f} ms over 34->98)")
 
 
 if __name__ == "__main__":
