@@ -157,12 +157,21 @@ def main(sizes, backends, bal_path, batch=1, schur_w="auto", profile=False):
             nobs = len(prob.obs_cam)
             if not flops or flops != flops:
                 # axon's cost_analysis is empty; analytic model for the
-                # schur dense-W path: two (Cd x Pd)(Pd x Cd) GEMMs for
-                # W Hpp^-1 W^T, the S POTRF, and per-obs linearization
+                # schur dense-W path: two (Cd x Pdp)(Pdp x Cd) GEMMs for
+                # W Hpp^-1 W^T + the back-substitution pair, the S POTRF,
+                # and per-obs linearization. Dims come from the ACTUAL block
+                # pattern (earlier rounds hardcoded d=9; the real pad dof is
+                # 6 and the point axis is dp=3 since the mixed-dof change,
+                # so those MFU numbers were ~3.4x overstated).
                 C, P = prob.num_cameras, prob.num_points
-                d, B = 9, batch  # padded block dof
-                Cd, Pd = C * d, P * d
-                flops = (4 * B * Cd * Cd * Pd + (2 / 3) * B * Cd**3
+                B = batch
+                try:
+                    nb = layer.optimizer.normal_builder
+                    Cd = C * nb.pattern.d
+                    Pdp = P * nb.pt_d
+                except AttributeError:
+                    Cd, Pdp = C * 6, P * 3
+                flops = (4 * B * Cd * Cd * Pdp + (2 / 3) * B * Cd**3
                          + nobs * B * 1.5e3)
             mfu = flops / (ms / 1e3) / PEAK_F32 * 100
             rows.append((prob.num_cameras, prob.num_points, nobs, batch,

@@ -94,21 +94,28 @@ class SchurNormal:
         bsz = rhs.shape[1]
         dtype = rhs.dtype
         C, P = len(bld.cam_vars), len(bld.pt_vars)
+        # mixed-dof point axis: landmark blocks are sliced to the true max
+        # point dof dp (<= d) before elimination. At BA scale (cam dof 6,
+        # point dof 3) this halves the dominant W*Hcp^T GEMM's contraction
+        # dim and the densified W/Hcp footprint; padding dims carry identity
+        # diagonals + zero off-diagonals/rhs, so the dp-slice is exact.
+        dp = bld.pt_d
 
         # landmark block inverses via small Cholesky
-        hpp = ata[bld.pt_diag_slots]  # (P, B, d, d)
+        hpp = ata[bld.pt_diag_slots][..., :dp, :dp]  # (P, B, dp, dp)
         lpp = chol_small(0.5 * (hpp + jnp.swapaxes(hpp, -1, -2)))
-        bp = rhs[bld.pt_vars_np]  # (P, B, d)
+        bp = rhs[bld.pt_vars_np][..., :dp]  # (P, B, dp)
 
-        # cp blocks oriented (cam rows, point cols)
+        # cp blocks oriented (cam rows, point cols), point axis sliced to dp
         hcp = ata[bld.cp_slots]  # (O, B, d, d)
         hcp = jnp.where(bld.cp_tr[:, None, None, None], jnp.swapaxes(hcp, -1, -2), hcp)
+        hcp = hcp[..., :dp]  # (O, B, d, dp)
 
         # W_o = Hcp_o Hpp_{p(o)}^{-1}
-        lo = lpp[bld.cp_pt]  # (O, B, d, d)
+        lo = lpp[bld.cp_pt]  # (O, B, dp, dp)
         w = jnp.swapaxes(
             _chol_solve_mat(lo, jnp.swapaxes(hcp, -1, -2)), -1, -2
-        )  # (O, B, d, d)
+        )  # (O, B, d, dp)
 
         # dense Hcc (B, C*d, C*d) from cc slots
         hcc = jnp.zeros((bsz, C, C, d, d), dtype=dtype)
@@ -124,19 +131,19 @@ class SchurNormal:
         )
 
         bc = rhs[bld.cam_vars_np]  # (C, B, d)
-        bp_flat = jnp.moveaxis(bp, 0, 1).reshape(bsz, P * d)
+        bp_flat = jnp.moveaxis(bp, 0, 1).reshape(bsz, P * dp)
 
         if bld.use_dense_elimination(bsz, dtype):
-            # MXU path: densify W and Hcp as (B, C*d, P*d) and compute the
+            # MXU path: densify W and Hcp as (B, C*d, P*dp) and compute the
             # whole S update + reduced rhs + landmark back-substitution as
             # three batched GEMMs. Zero blocks (non-observed pairs) cost
             # FLOPs but the systolic array wins by orders of magnitude over
             # per-point gather/scatter at BA scale.
-            def to2d(blocks):  # (O, B, d, d) -> (B, C*d, P*d)
-                dd = jnp.zeros((C, P, bsz, d, d), dtype=dtype)
+            def to2d(blocks):  # (O, B, d, dp) -> (B, C*d, P*dp)
+                dd = jnp.zeros((C, P, bsz, d, dp), dtype=dtype)
                 dd = dd.at[bld.cp_cam, bld.cp_pt].set(blocks)
                 return jnp.moveaxis(dd, 2, 0).transpose(0, 1, 3, 2, 4).reshape(
-                    bsz, C * d, P * d
+                    bsz, C * d, P * dp
                 )
 
             W2 = to2d(w)
@@ -150,8 +157,8 @@ class SchurNormal:
             ls = jnp.linalg.cholesky(s_mat)
             xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
             xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
-            hx_flat = jnp.einsum("bcp,bc->bp", H2, xc_flat)  # (B, Pd)
-            acc = jnp.moveaxis(hx_flat.reshape(bsz, P, d), 1, 0)  # (P, B, d)
+            hx_flat = jnp.einsum("bcp,bc->bp", H2, xc_flat)  # (B, P*dp)
+            acc = jnp.moveaxis(hx_flat.reshape(bsz, P, dp), 1, 0)  # (P, B, dp)
             xp = _chol_solve_vec(lpp, bp - acc)
         else:
             # chunked path: S -= sum over points of W_k H_l^T for camera
@@ -179,7 +186,7 @@ class SchurNormal:
             def body(s_acc, x):
                 obs_c, val_c, pair_c = x
                 vmask = val_c[:, :, None, None, None]
-                wg = jnp.where(vmask, w[obs_c], 0.0)  # (Pc,K,B,d,d)
+                wg = jnp.where(vmask, w[obs_c], 0.0)  # (Pc,K,B,d,dp)
                 hg = jnp.where(vmask, hcp[obs_c], 0.0)
                 pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
                 s_acc = s_acc.at[pair_c.reshape(-1)].add(
@@ -208,10 +215,12 @@ class SchurNormal:
             xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
 
             # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
-            hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])
+            hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])  # (O, B, dp)
             acc = _seg_sum(hx, bld.cp_pt, P, dtype)
-            xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, d)
+            xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, dp)
 
+        if dp < d:  # pad landmark deltas back to the uniform block dof
+            xp = jnp.pad(xp, ((0, 0), (0, 0), (0, d - dp)))
         x_blocks = jnp.zeros((bld.pattern.n_vars, bsz, d), dtype=dtype)
         x_blocks = x_blocks.at[bld.cam_vars_np].set(xc)
         x_blocks = x_blocks.at[bld.pt_vars_np].set(xp)
@@ -240,6 +249,10 @@ class SchurNormalBuilder:
             raise ValueError("Schur backend: nothing to eliminate.")
         self.cam_vars_np = np.asarray(self.cam_vars)
         self.pt_vars_np = np.asarray(self.pt_vars)
+        # true max dof over the eliminated (landmark) vars: the elimination
+        # runs on dp-sliced blocks (points dof 3 vs uniform pad d=6 at BA
+        # shapes halves the W GEMM + densified footprint)
+        self.pt_d = int(self.pattern.var_dofs[self.pt_vars_np].max())
         cam_index = {v: i for i, v in enumerate(self.cam_vars)}
         pt_index = {v: i for i, v in enumerate(self.pt_vars)}
 
@@ -294,13 +307,13 @@ class SchurNormalBuilder:
         self.bw_isdiag = self.bw_ii == self.bw_jj
 
     def use_dense_elimination(self, bsz: int, dtype) -> bool:
-        """True when densified W/Hcp (B, C*d, P*d) fit the config budget."""
+        """True when densified W/Hcp (B, C*d, P*dp) fit the config budget."""
         from .. import config as _config
 
         C, P, d = len(self.cam_vars), len(self.pt_vars), self.pattern.d
         itemsize = jnp.dtype(dtype).itemsize
         # W2, H2, plus one matmul transient of the same size
-        return 3 * bsz * (C * d) * (P * d) * itemsize <= (
+        return 3 * bsz * (C * d) * (P * self.pt_d) * itemsize <= (
             _config.SCHUR_DENSE_BUDGET_BYTES
         )
 
