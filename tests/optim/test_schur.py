@@ -70,6 +70,45 @@ def test_schur_rejects_coupled_landmarks():
         SchurNormalBuilder(obj.compile(), eliminate_points)
 
 
+@pytest.mark.parametrize("w_path", ["dense", "chunked"])
+def test_schur_mixed_dof_slice_equivalence(w_path):
+    """Regression trap for the (dc, dp) mixed-dof slicing: the same BA
+    problem solved with the sliced axes (cam dof 6, point dof 3) must match
+    the pre-slice uniform-d path (pt_d = cam_d = d forced) bit-for-bit to
+    solver tolerance, on BOTH the dense-W and chunked elimination branches.
+    A silent d-vs-dp reshape regression in either branch breaks this."""
+    from theseus_tpu import config as cfg
+    from theseus_tpu.optim.schur import SchurNormalBuilder, eliminate_points
+
+    prob, obj = build(seed=3, batch=2)
+    co = obj.compile()
+    values = obj.default_values(ba_values(prob))
+    state = co.pack(values, 2)
+    aux = co.build_aux(values, 2)
+
+    old = cfg.SCHUR_DENSE_BUDGET_BYTES
+    try:
+        if w_path == "chunked":
+            cfg.set_schur_dense_budget(0)
+
+        bld = SchurNormalBuilder(co, eliminate_points)
+        assert bld.pt_d < bld.pattern.d  # the slice is actually active
+        ns = bld.build(state, aux)
+        d_sliced, _ = ns.solve(1e-3, False)
+
+        bld_u = SchurNormalBuilder(co, eliminate_points)
+        bld_u.pt_d = bld_u.pattern.d  # force the pre-slice uniform-d path
+        bld_u.cam_d = bld_u.pattern.d
+        ns_u = bld_u.build(state, aux)
+        d_uniform, _ = ns_u.solve(1e-3, False)
+    finally:
+        cfg.set_schur_dense_budget(old)
+
+    np.testing.assert_allclose(
+        np.asarray(d_sliced), np.asarray(d_uniform), rtol=1e-9, atol=1e-12
+    )
+
+
 def test_schur_dense_vs_chunked_elimination():
     """The MXU dense-W path and the scanned chunk path must agree."""
     from theseus_tpu import config as cfg

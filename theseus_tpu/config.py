@@ -115,6 +115,35 @@ def solver_precision():
 
 
 # ---------------------------------------------------------------------------
+# Mixed-precision iterative refinement on the normal-equation solves
+# (sparse/refine.py). The reference's precision contract is an f64 sparse
+# factor/solve (optimizer/autograd/baspacho_sparse_autograd.py:41) and a
+# double-precision Atb (sparse_linearization.py:169-176); on TPU we keep the
+# f32 MXU factorization and recover the f64 solve plateau with REFINE_STEPS
+# residual-correction sweeps (residual accumulated in f64 when the process
+# has x64 enabled — the axon TPU backend supports emulated f64). 0 disables.
+# ---------------------------------------------------------------------------
+REFINE_STEPS = 1
+
+
+def set_refine_steps(n: int) -> None:
+    global REFINE_STEPS
+    REFINE_STEPS = int(n)
+
+
+# Accumulate the gradient Atb = -J^T r in f64 during assembly (the reference
+# does this with a double sparse_mtv regardless of solver). Only active when
+# the process has x64 enabled; costs one extra O(K B m d) einsum in emulated
+# f64 per bucket.
+ATB_HIGH_PRECISION = True
+
+
+def set_atb_high_precision(enabled: bool) -> None:
+    global ATB_HIGH_PRECISION
+    ATB_HIGH_PRECISION = bool(enabled)
+
+
+# ---------------------------------------------------------------------------
 # Sparse-solver block padding: round the uniform block dof up to a multiple
 # of this value (e.g. 8 = TPU f32 sublane count, so 6-dof SE3 blocks tile as
 # 8x8 instead of a ragged 6x6). Padding dims carry identity diagonals in the

@@ -228,11 +228,21 @@ class CompiledObjective:
         """Gather per-bucket stacked aux arrays (a differentiable pytree)."""
         b = batch_size or self.resolve_batch_size(values)
 
+        def cast(v):
+            # pin floating aux to the objective dtype: numpy-default f64
+            # values (e.g. weight defaults) must not leak f64 into the
+            # compiled program when the process runs with x64 enabled —
+            # Mosaic kernels reject 64-bit operands and the reference
+            # likewise coerces aux to the objective dtype
+            if jnp.issubdtype(v.dtype, jnp.floating) and v.dtype != self.dtype:
+                return v.astype(self.dtype)
+            return v
+
         def get(n):
             v = values[n] if n in values else self.aux_defaults[n]
             if v.shape[0] != b:
                 v = _bcast(v, (b,) + v.shape[1:])
-            return v
+            return cast(v)
 
         def get_stacked(n):
             """Pre-stacked (K, B|1, ...) array; broadcast batch at axis 1."""
@@ -241,7 +251,7 @@ class CompiledObjective:
                 v = jnp.asarray(v)
             if v.ndim >= 2 and v.shape[1] != b:
                 v = _bcast(v, (v.shape[0], b) + v.shape[2:])
-            return v
+            return cast(v)
 
         def build_slots(slots):
             out = []
@@ -501,7 +511,7 @@ def _family_bucket(fam_cf, bucket_i, row_offset, type_index, col_offset):
             shared = False
         else:
             g = m.group
-            sidx = np.full(count, type_index[m.name], dtype=np.int64)
+            sidx = np.full(count, type_index[m.name], dtype=np.int32)
             c0 = col_offset[m.name]
             cols = np.broadcast_to(
                 c0 + np.arange(g.dof)[None, :], (count, g.dof)

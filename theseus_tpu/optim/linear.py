@@ -54,6 +54,26 @@ class DenseCholeskySolver:
         damped = apply_damping(AtA, damping, ellipsoidal, self.damping_eps)
         L = jnp.linalg.cholesky(damped)
         delta = jsl.cho_solve((L, True), Atb[..., None])[..., 0]
+
+        # mixed-precision iterative refinement (sparse/refine.py; the
+        # reference's dense solvers run at the problem dtype, but the f64
+        # solve contract of its sparse backends is matched here too so all
+        # linearizations share one precision story)
+        from .. import config as _config
+
+        if _config.REFINE_STEPS > 0:
+            from ..sparse.refine import hp_dtype, refine
+
+            hp = hp_dtype(Atb.dtype)
+            damped_hp = damped.astype(hp)
+            delta = refine(
+                lambda r: jsl.cho_solve((L, True), r[..., None])[..., 0],
+                lambda x: jnp.einsum(
+                    "bij,bj->bi", damped_hp, x,
+                    precision=jax.lax.Precision.HIGHEST,
+                ),
+                Atb, delta, _config.REFINE_STEPS,
+            )
         if self.check_singular:
             bad = jnp.any(~jnp.isfinite(delta), axis=-1)
             delta = jnp.where(bad[..., None], 0.0, delta)

@@ -85,7 +85,6 @@ class SchurNormal:
 
     def solve(self, damping=0.0, ellipsoidal=False, rhs_shift=None):
         bld = self.builder
-        d = bld.pattern.d
         ata = apply_block_damping(bld.pattern, self.ata, damping, ellipsoidal,
                                   bld.damping_eps)
         rhs = self.atb_blocks
@@ -93,141 +92,186 @@ class SchurNormal:
             rhs = rhs - bld.unflatten(rhs_shift)
         bsz = rhs.shape[1]
         dtype = rhs.dtype
+
+        # factor once (Hpp block Choleskys + reduced-camera Cholesky), then
+        # apply to the rhs; the same apply closure serves the
+        # iterative-refinement sweeps (sparse/refine.py) so the Schur path
+        # honors the same f64-solve precision contract as the generic
+        # sparse backend (reference baspacho_sparse_autograd.py:41)
+        apply_fn = self._prepare_apply(ata, bsz, dtype)
+        x_blocks = apply_fn(rhs)
+
+        from .. import config as _config
+
+        if _config.REFINE_STEPS > 0:
+            from ..sparse.refine import block_matvec, hp_dtype, refine
+
+            tables = bld.matvec_tables()
+            hp = hp_dtype(dtype)
+            x_blocks = refine(
+                apply_fn,
+                lambda xv: block_matvec(tables, ata, xv, hp),
+                rhs, x_blocks, _config.REFINE_STEPS,
+            )
+
+        delta = bld.flatten(x_blocks)
+        bad = jnp.any(~jnp.isfinite(delta), axis=-1)
+        delta = jnp.where(bad[..., None], 0.0, delta)
+        return delta, bad
+
+    def _prepare_apply(self, ata, bsz, dtype):
+        """Eliminate the landmark subsystem and factor the reduced camera
+        system; returns apply(rhs_blocks (n, B, d)) -> x_blocks (n, B, d).
+
+        Mixed-dof slicing on BOTH axes: landmark blocks run at the true max
+        point dof dp and camera blocks at the true max camera dof dc (both
+        <= the uniform pad d). At BA scale (cam dof 6, point dof 3, d = 6)
+        the dp-slice halves the dominant W*Hcp^T GEMM contraction dim; the
+        dc-slice is the analogous guard for problems where a non-camera
+        variable inflates d. Padding dims carry identity diagonals + zero
+        off-diagonals/rhs, so both slices are exact."""
+        bld = self.builder
+        d = bld.pattern.d
         C, P = len(bld.cam_vars), len(bld.pt_vars)
-        # mixed-dof point axis: landmark blocks are sliced to the true max
-        # point dof dp (<= d) before elimination. At BA scale (cam dof 6,
-        # point dof 3) this halves the dominant W*Hcp^T GEMM's contraction
-        # dim and the densified W/Hcp footprint; padding dims carry identity
-        # diagonals + zero off-diagonals/rhs, so the dp-slice is exact.
         dp = bld.pt_d
+        dc = bld.cam_d
 
         # landmark block inverses via small Cholesky
         hpp = ata[bld.pt_diag_slots][..., :dp, :dp]  # (P, B, dp, dp)
         lpp = chol_small(0.5 * (hpp + jnp.swapaxes(hpp, -1, -2)))
-        bp = rhs[bld.pt_vars_np][..., :dp]  # (P, B, dp)
 
-        # cp blocks oriented (cam rows, point cols), point axis sliced to dp
+        # cp blocks oriented (cam rows, point cols), sliced to (dc, dp)
         hcp = ata[bld.cp_slots]  # (O, B, d, d)
         hcp = jnp.where(bld.cp_tr[:, None, None, None], jnp.swapaxes(hcp, -1, -2), hcp)
-        hcp = hcp[..., :dp]  # (O, B, d, dp)
+        hcp = hcp[..., :dc, :dp]  # (O, B, dc, dp)
 
         # W_o = Hcp_o Hpp_{p(o)}^{-1}
         lo = lpp[bld.cp_pt]  # (O, B, dp, dp)
         w = jnp.swapaxes(
             _chol_solve_mat(lo, jnp.swapaxes(hcp, -1, -2)), -1, -2
-        )  # (O, B, d, dp)
+        )  # (O, B, dc, dp)
 
-        # dense Hcc (B, C*d, C*d) from cc slots
-        hcc = jnp.zeros((bsz, C, C, d, d), dtype=dtype)
+        # dense Hcc (B, C*dc, C*dc) from cc slots
+        hcc = jnp.zeros((bsz, C, C, dc, dc), dtype=dtype)
         cc_blocks = ata[bld.cc_slots]  # (Ncc, B, d, d)
         cc_blocks = jnp.where(
             bld.cc_tr[:, None, None, None], jnp.swapaxes(cc_blocks, -1, -2), cc_blocks
-        )
-        cc_b = jnp.moveaxis(cc_blocks, 1, 0)  # (B, Ncc, d, d)
+        )[..., :dc, :dc]
+        cc_b = jnp.moveaxis(cc_blocks, 1, 0)  # (B, Ncc, dc, dc)
         hcc = hcc.at[:, bld.cc_i, bld.cc_j].add(cc_b)
         off = bld.cc_i != bld.cc_j
         hcc = hcc.at[:, bld.cc_j[off], bld.cc_i[off]].add(
             jnp.swapaxes(cc_b[:, off], -1, -2)
         )
 
-        bc = rhs[bld.cam_vars_np]  # (C, B, d)
-        bp_flat = jnp.moveaxis(bp, 0, 1).reshape(bsz, P * dp)
-
         if bld.use_dense_elimination(bsz, dtype):
-            # MXU path: densify W and Hcp as (B, C*d, P*dp) and compute the
+            # MXU path: densify W and Hcp as (B, C*dc, P*dp) and compute the
             # whole S update + reduced rhs + landmark back-substitution as
             # three batched GEMMs. Zero blocks (non-observed pairs) cost
             # FLOPs but the systolic array wins by orders of magnitude over
             # per-point gather/scatter at BA scale.
-            def to2d(blocks):  # (O, B, d, dp) -> (B, C*d, P*dp)
-                dd = jnp.zeros((C, P, bsz, d, dp), dtype=dtype)
+            def to2d(blocks):  # (O, B, dc, dp) -> (B, C*dc, P*dp)
+                dd = jnp.zeros((C, P, bsz, dc, dp), dtype=dtype)
                 dd = dd.at[bld.cp_cam, bld.cp_pt].set(blocks)
                 return jnp.moveaxis(dd, 2, 0).transpose(0, 1, 3, 2, 4).reshape(
-                    bsz, C * d, P * dp
+                    bsz, C * dc, P * dp
                 )
 
             W2 = to2d(w)
             H2 = to2d(hcp)
-            s_upd2 = jnp.einsum("bcp,bqp->bcq", W2, H2)  # (B, Cd, Cd)
-            s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d) - s_upd2
-            red_flat = jnp.einsum("bcp,bp->bc", W2, bp_flat)  # (B, Cd)
-            rc_flat = (
-                jnp.moveaxis(bc, 0, 1).reshape(bsz, C * d) - red_flat
-            )
+            s_upd2 = jnp.einsum("bcp,bqp->bcq", W2, H2)  # (B, Cdc, Cdc)
+            s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * dc, C * dc) - s_upd2
             ls = jnp.linalg.cholesky(s_mat)
-            xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
-            xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
-            hx_flat = jnp.einsum("bcp,bc->bp", H2, xc_flat)  # (B, P*dp)
-            acc = jnp.moveaxis(hx_flat.reshape(bsz, P, dp), 1, 0)  # (P, B, dp)
-            xp = _chol_solve_vec(lpp, bp - acc)
-        else:
-            # chunked path: S -= sum over points of W_k H_l^T for camera
-            # pairs (k, l) of point p, as a lax.scan over fixed-size point
-            # chunks (compiled-program size is O(1) in P; the pair tensor
-            # (Pc, K, K, B, d, d) stays bounded per chunk)
-            ppad_obs, ppad_valid, campair = bld.ppad_tables()
-            K = ppad_obs.shape[1]
-            per_pt = max(1, K * K * bsz * d * d * 4)
-            chunk = max(1, min(P, (256 << 20) // per_pt))
-            n_chunks = (P + chunk - 1) // chunk
-            Ppad = n_chunks * chunk
-            pad = Ppad - P
 
-            obs_x = np.concatenate(
-                [ppad_obs, np.zeros((pad, K), np.int64)]
-            ).reshape(n_chunks, chunk, K)
-            val_x = np.concatenate(
-                [ppad_valid, np.zeros((pad, K), bool)]
-            ).reshape(n_chunks, chunk, K)
-            pair_x = np.concatenate(
-                [campair, np.full((pad, K * K), C * C, np.int64)]
-            ).reshape(n_chunks, chunk, K * K)
+            def apply_fn(rhs):
+                bp = rhs[bld.pt_vars_np][..., :dp]  # (P, B, dp)
+                bc = rhs[bld.cam_vars_np][..., :dc]  # (C, B, dc)
+                bp_flat = jnp.moveaxis(bp, 0, 1).reshape(bsz, P * dp)
+                red_flat = jnp.einsum("bcp,bp->bc", W2, bp_flat)  # (B, Cdc)
+                rc_flat = jnp.moveaxis(bc, 0, 1).reshape(bsz, C * dc) - red_flat
+                xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
+                xc = jnp.moveaxis(xc_flat.reshape(bsz, C, dc), 1, 0)  # (C, B, dc)
+                hx_flat = jnp.einsum("bcp,bc->bp", H2, xc_flat)  # (B, P*dp)
+                acc = jnp.moveaxis(hx_flat.reshape(bsz, P, dp), 1, 0)
+                xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, dp)
+                return self._scatter_x(xc, xp, bsz, dtype)
 
-            def body(s_acc, x):
-                obs_c, val_c, pair_c = x
-                vmask = val_c[:, :, None, None, None]
-                wg = jnp.where(vmask, w[obs_c], 0.0)  # (Pc,K,B,d,dp)
-                hg = jnp.where(vmask, hcp[obs_c], 0.0)
-                pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
-                s_acc = s_acc.at[pair_c.reshape(-1)].add(
-                    pair_s.reshape(-1, bsz, d, d)
-                )
-                return s_acc, None
+            return apply_fn
 
-            s_acc0 = jnp.zeros((C * C + 1, bsz, d, d), dtype=dtype)
-            s_acc, _ = jax.lax.scan(
-                body,
-                s_acc0,
-                (jnp.asarray(obs_x), jnp.asarray(val_x), jnp.asarray(pair_x)),
+        # chunked path: S -= sum over points of W_k H_l^T for camera
+        # pairs (k, l) of point p, as a lax.scan over fixed-size point
+        # chunks (compiled-program size is O(1) in P; the pair tensor
+        # (Pc, K, K, B, dc, dc) stays bounded per chunk)
+        ppad_obs, ppad_valid, campair = bld.ppad_tables()
+        K = ppad_obs.shape[1]
+        per_pt = max(1, K * K * bsz * dc * dc * 4)
+        chunk = max(1, min(P, (256 << 20) // per_pt))
+        n_chunks = (P + chunk - 1) // chunk
+        Ppad = n_chunks * chunk
+        pad = Ppad - P
+
+        obs_x = np.concatenate(
+            [ppad_obs, np.zeros((pad, K), np.int32)]
+        ).reshape(n_chunks, chunk, K)
+        val_x = np.concatenate(
+            [ppad_valid, np.zeros((pad, K), bool)]
+        ).reshape(n_chunks, chunk, K)
+        pair_x = np.concatenate(
+            [campair, np.full((pad, K * K), C * C, np.int32)]
+        ).reshape(n_chunks, chunk, K * K)
+
+        def body(s_acc, x):
+            obs_c, val_c, pair_c = x
+            vmask = val_c[:, :, None, None, None]
+            wg = jnp.where(vmask, w[obs_c], 0.0)  # (Pc,K,B,dc,dp)
+            hg = jnp.where(vmask, hcp[obs_c], 0.0)
+            pair_s = jnp.einsum("pkbij,plbmj->pklbim", wg, hg)
+            s_acc = s_acc.at[pair_c.reshape(-1)].add(
+                pair_s.reshape(-1, bsz, dc, dc)
             )
-            s_upd = s_acc[:-1].reshape(C, C, bsz, d, d)
-            hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
-            s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * d, C * d)
+            return s_acc, None
 
+        s_acc0 = jnp.zeros((C * C + 1, bsz, dc, dc), dtype=dtype)
+        s_acc, _ = jax.lax.scan(
+            body,
+            s_acc0,
+            (jnp.asarray(obs_x), jnp.asarray(val_x), jnp.asarray(pair_x)),
+        )
+        s_upd = s_acc[:-1].reshape(C, C, bsz, dc, dc)
+        hcc = hcc - jnp.moveaxis(s_upd, 2, 0)
+        s_mat = jnp.swapaxes(hcc, 2, 3).reshape(bsz, C * dc, C * dc)
+        ls = jnp.linalg.cholesky(s_mat)
+
+        def apply_fn(rhs):
+            bp = rhs[bld.pt_vars_np][..., :dp]  # (P, B, dp)
+            bc = rhs[bld.cam_vars_np][..., :dc]  # (C, B, dc)
             # reduced rhs: bc - sum W_o bp_{p(o)} scattered at cam(o)
-            wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, d)
+            wb = jnp.einsum("obij,obj->obi", w, bp[bld.cp_pt])  # (O, B, dc)
             red = _seg_sum(wb, bld.cp_cam, C, dtype)
-            rc = bc - red  # (C, B, d)
-            rc_flat = jnp.moveaxis(rc, 0, 1).reshape(bsz, C * d)
-
-            ls = jnp.linalg.cholesky(s_mat)
+            rc_flat = jnp.moveaxis(bc - red, 0, 1).reshape(bsz, C * dc)
             xc_flat = jsl.cho_solve((ls, True), rc_flat[..., None])[..., 0]
-            xc = jnp.moveaxis(xc_flat.reshape(bsz, C, d), 1, 0)  # (C, B, d)
-
+            xc = jnp.moveaxis(xc_flat.reshape(bsz, C, dc), 1, 0)  # (C, B, dc)
             # back-substitute landmarks: xp = Hpp^-1 (bp - Hpc xc)
             hx = jnp.einsum("obji,obj->obi", hcp, xc[bld.cp_cam])  # (O, B, dp)
             acc = _seg_sum(hx, bld.cp_pt, P, dtype)
             xp = _chol_solve_vec(lpp, bp - acc)  # (P, B, dp)
+            return self._scatter_x(xc, xp, bsz, dtype)
 
-        if dp < d:  # pad landmark deltas back to the uniform block dof
+        return apply_fn
+
+    def _scatter_x(self, xc, xp, bsz, dtype):
+        """(C, B, dc) camera + (P, B, dp) landmark deltas -> (n, B, d)."""
+        bld = self.builder
+        d = bld.pattern.d
+        dp, dc = bld.pt_d, bld.cam_d
+        if dp < d:
             xp = jnp.pad(xp, ((0, 0), (0, 0), (0, d - dp)))
+        if dc < d:
+            xc = jnp.pad(xc, ((0, 0), (0, 0), (0, d - dc)))
         x_blocks = jnp.zeros((bld.pattern.n_vars, bsz, d), dtype=dtype)
         x_blocks = x_blocks.at[bld.cam_vars_np].set(xc)
         x_blocks = x_blocks.at[bld.pt_vars_np].set(xp)
-        delta = bld.flatten(x_blocks)
-        bad = jnp.any(~jnp.isfinite(delta), axis=-1)
-        delta = jnp.where(bad[..., None], 0.0, delta)
-        return delta, bad
+        return x_blocks
 
 
 class SchurNormalBuilder:
@@ -249,10 +293,16 @@ class SchurNormalBuilder:
             raise ValueError("Schur backend: nothing to eliminate.")
         self.cam_vars_np = np.asarray(self.cam_vars)
         self.pt_vars_np = np.asarray(self.pt_vars)
-        # true max dof over the eliminated (landmark) vars: the elimination
-        # runs on dp-sliced blocks (points dof 3 vs uniform pad d=6 at BA
-        # shapes halves the W GEMM + densified footprint)
+        # true max dofs per side: the elimination runs on (dc, dp)-sliced
+        # blocks (points dof 3 vs uniform pad d=6 at BA shapes halves the
+        # W GEMM + densified footprint; dc guards the camera axis when a
+        # non-camera variable inflates the uniform pad d)
         self.pt_d = int(self.pattern.var_dofs[self.pt_vars_np].max())
+        self.cam_d = (
+            int(self.pattern.var_dofs[self.cam_vars_np.astype(np.int64)].max())
+            if len(self.cam_vars) else d
+        )
+        self._matvec_tables = None
         cam_index = {v: i for i, v in enumerate(self.cam_vars)}
         pt_index = {v: i for i, v in enumerate(self.pt_vars)}
 
@@ -276,18 +326,18 @@ class SchurNormalBuilder:
                 cp.append((slot, cam_index[cam], pt_index[pt], needs_t))
 
         C = len(self.cam_vars)
-        self.cc_slots = np.asarray([x[0] for x in cc] + [self.pattern.pair_slot[(v, v)] for v in self.cam_vars], dtype=np.int64)
-        self.cc_i = np.asarray([x[1] for x in cc] + list(range(C)), dtype=np.int64)
-        self.cc_j = np.asarray([x[2] for x in cc] + list(range(C)), dtype=np.int64)
+        self.cc_slots = np.asarray([x[0] for x in cc] + [self.pattern.pair_slot[(v, v)] for v in self.cam_vars], dtype=np.int32)
+        self.cc_i = np.asarray([x[1] for x in cc] + list(range(C)), dtype=np.int32)
+        self.cc_j = np.asarray([x[2] for x in cc] + list(range(C)), dtype=np.int32)
         self.cc_tr = np.zeros(len(self.cc_slots), dtype=bool)
 
-        self.cp_slots = np.asarray([x[0] for x in cp], dtype=np.int64)
-        self.cp_cam = np.asarray([x[1] for x in cp], dtype=np.int64)
-        self.cp_pt = np.asarray([x[2] for x in cp], dtype=np.int64)
+        self.cp_slots = np.asarray([x[0] for x in cp], dtype=np.int32)
+        self.cp_cam = np.asarray([x[1] for x in cp], dtype=np.int32)
+        self.cp_pt = np.asarray([x[2] for x in cp], dtype=np.int32)
         self.cp_tr = np.asarray([x[3] for x in cp], dtype=bool)
 
         self.pt_diag_slots = np.asarray(
-            [self.pattern.pair_slot[(v, v)] for v in self.pt_vars], dtype=np.int64
+            [self.pattern.pair_slot[(v, v)] for v in self.pt_vars], dtype=np.int32
         )
 
         self._ppad = None  # per-point padded tables, built lazily (chunk path)
@@ -306,14 +356,22 @@ class SchurNormalBuilder:
         self.bw_slots = np.array([s for _, s in items])
         self.bw_isdiag = self.bw_ii == self.bw_jj
 
+    def matvec_tables(self):
+        """Gather tables for the iterative-refinement block SpMV."""
+        if self._matvec_tables is None:
+            from ..sparse.refine import matvec_tables
+
+            self._matvec_tables = matvec_tables(self.pattern.pair_slot)
+        return self._matvec_tables
+
     def use_dense_elimination(self, bsz: int, dtype) -> bool:
-        """True when densified W/Hcp (B, C*d, P*dp) fit the config budget."""
+        """True when densified W/Hcp (B, C*dc, P*dp) fit the config budget."""
         from .. import config as _config
 
-        C, P, d = len(self.cam_vars), len(self.pt_vars), self.pattern.d
+        C, P = len(self.cam_vars), len(self.pt_vars)
         itemsize = jnp.dtype(dtype).itemsize
         # W2, H2, plus one matmul transient of the same size
-        return 3 * bsz * (C * d) * (P * self.pt_d) * itemsize <= (
+        return 3 * bsz * (C * self.cam_d) * (P * self.pt_d) * itemsize <= (
             _config.SCHUR_DENSE_BUDGET_BYTES
         )
 
@@ -330,7 +388,7 @@ class SchurNormalBuilder:
         order = np.argsort(self.cp_pt, kind="stable")
         starts = np.cumsum(counts) - counts
         pos = np.arange(O) - starts[self.cp_pt[order]]
-        ppad_obs = np.zeros((P, K), dtype=np.int64)
+        ppad_obs = np.zeros((P, K), dtype=np.int32)
         ppad_valid = np.zeros((P, K), dtype=bool)
         ppad_obs[self.cp_pt[order], pos] = order
         ppad_valid[self.cp_pt[order], pos] = True

@@ -53,7 +53,7 @@ def build_block_pattern(co: CompiledObjective) -> BlockPattern:
     # would otherwise pay ~10^6 Python dict operations here):
     # global var id per slot from the tangent-column table, then one
     # np.unique over all off-diagonal (lo, hi) keys to number the slots.
-    col2var = np.repeat(np.arange(n_vars), var_dofs.astype(np.int64))
+    col2var = np.repeat(np.arange(n_vars, dtype=np.int32), var_dofs.astype(np.int64))
 
     bucket_gvars: List[List[np.ndarray]] = []
     raw_scheds: List[List] = []  # (s, t, lo, hi, needs_t, also_diag)
@@ -107,7 +107,7 @@ def build_block_pattern(co: CompiledObjective) -> BlockPattern:
                 lo == hi,
                 lo + 1,
                 n_vars + 1 + np.searchsorted(uniq_off, key),
-            ).astype(np.int64)
+            ).astype(np.int32)
             out.append((s, t, tgt, needs_t, also_diag))
         bucket_pair_sched.append(out)
 
@@ -154,6 +154,9 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
     dtype = some_err.dtype
 
     from .. import config as _config
+    from .refine import hp_dtype
+
+    atb_hp = _config.ATB_HIGH_PRECISION and hp_dtype(dtype) != dtype
 
     if _config.pallas_enabled(dtype) and not _config._PALLAS_INTERPRET:
         from .pallas_assemble import assemble_fits, assemble_pallas
@@ -174,9 +177,43 @@ def assemble(pattern: BlockPattern, co: CompiledObjective, blocks):
                 return vjp(ct)
 
             _asm.defvjp(_asm_fwd, _asm_bwd)
-            return _asm(blocks)
+            ata, atb = _asm(blocks)
+            if atb_hp:
+                # reference contract: Atb accumulated in double precision
+                # (sparse_linearization.py:169-176); the kernel's f32 atb is
+                # discarded and recomputed with f64 accumulation (one small
+                # einsum; gradients flow through these ops directly)
+                atb = _assemble_atb_hp(pattern, blocks, dtype)
+            return ata, atb
 
-    return _assemble_xla(pattern, co, blocks)
+    ata, atb = _assemble_xla(pattern, co, blocks)
+    if atb_hp:
+        atb = _assemble_atb_hp(pattern, blocks, dtype)
+    return ata, atb
+
+
+def _assemble_atb_hp(pattern: BlockPattern, blocks, dtype):
+    """Atb = -sum J_s^T e accumulated in the high-precision dtype, cast back
+    to the working dtype at the end (a relative-eps rounding of the VALUE,
+    unlike term-wise f32 accumulation whose error is absolute in the term
+    magnitudes and dominates the gradient near convergence)."""
+    from .refine import hp_dtype
+
+    hp = hp_dtype(dtype)
+    d = pattern.d
+    some_err = blocks[0][1]
+    bsz = some_err.shape[1]
+    atb = jnp.zeros((pattern.n_vars, bsz, d), dtype=hp)
+    for bi, (jacs, err) in enumerate(blocks):
+        err_h = err.astype(hp)
+        for s, jac in enumerate(jacs):
+            jac_h = _pad_jac(jac, d).astype(hp)
+            contrib = -jnp.einsum(
+                "kbmi,kbm->kbi", jac_h, err_h,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            atb = atb.at[pattern.bucket_gvars[bi][s]].add(contrib)
+    return atb.astype(dtype)
 
 
 def _assemble_xla(pattern: BlockPattern, co: CompiledObjective, blocks):

@@ -100,11 +100,15 @@ class NumericSchedule:
         # host constants that re-embed per trace (device arrays here leak
         # tracers across traces)
         self.diag_slots = np.asarray(
-            [sym.block_of[(j, j)] for j in range(nh)], dtype=np.int64
+            [sym.block_of[(j, j)] for j in range(nh)], dtype=np.int32
         )
-        self.perm = np.asarray(sym.perm)
-        self.iperm = np.asarray(sym.iperm)
+        # int32 everywhere: Mosaic kernels reject 64-bit operands (relevant
+        # when the process enables x64 for the refinement tier) and i64
+        # tables would double every embedded gather constant's HLO bytes
+        self.perm = np.asarray(sym.perm, dtype=np.int32)
+        self.iperm = np.asarray(sym.iperm, dtype=np.int32)
         self._rect = None  # global rectangles, built lazily (see below)
+        self._matvec_tables = None  # refinement SpMV tables, built lazily
         self._build_tail_tables()
 
         # ---- per-level plan ------------------------------------------
@@ -128,6 +132,14 @@ class NumericSchedule:
             _build_level_runs(self.level_tables, n) if self.level_tables else []
         )
 
+    def matvec_tables(self):
+        """Gather tables for the iterative-refinement block SpMV."""
+        if self._matvec_tables is None:
+            from .refine import matvec_tables
+
+            self._matvec_tables = matvec_tables(self.pattern.pair_slot)
+        return self._matvec_tables
+
     def _build_level_table(self, cols):
         """Per-level tables built DIRECTLY from the symbolic lists, padded to
         level-local maxima. (Building global (nh, umax, rmax) rectangles and
@@ -136,20 +148,20 @@ class NumericSchedule:
         is O(exact fill).)"""
         sym, pattern = self.sym, self.pattern
         block_of = sym.block_of
-        cols = np.asarray(cols)
+        cols = np.asarray(cols, dtype=np.int32)
         C = len(cols)
         rmax_l = max(len(sym.col_rows[int(j)]) for j in cols)
         umax_l = max(1, max(len(sym.upd_lists[int(j)]) for j in cols))
 
-        a_src = np.zeros((C, rmax_l), dtype=np.int64)
+        a_src = np.zeros((C, rmax_l), dtype=np.int32)
         a_tr = np.zeros((C, rmax_l), dtype=bool)
         valid = np.zeros((C, rmax_l), dtype=bool)
-        col_slots = np.zeros((C, rmax_l), dtype=np.int64)
-        row_ids = np.zeros((C, rmax_l), dtype=np.int64)
+        col_slots = np.zeros((C, rmax_l), dtype=np.int32)
+        row_ids = np.zeros((C, rmax_l), dtype=np.int32)
         row_valid = np.zeros((C, rmax_l), dtype=bool)
-        upd_slots = np.zeros((C, umax_l, rmax_l), dtype=np.int64)
-        jk_slots = np.zeros((C, umax_l), dtype=np.int64)
-        upd_k = np.zeros((C, umax_l), dtype=np.int64)
+        upd_slots = np.zeros((C, umax_l, rmax_l), dtype=np.int32)
+        jk_slots = np.zeros((C, umax_l), dtype=np.int32)
+        upd_k = np.zeros((C, umax_l), dtype=np.int32)
         upd_valid = np.zeros((C, umax_l), dtype=bool)
         for idx, j in enumerate(cols):
             j = int(j)
@@ -188,7 +200,7 @@ class NumericSchedule:
             "upd_k": upd_k,
             "upd_valid": upd_valid,
             "diag_slots": np.asarray(
-                [sym.block_of[(int(j), int(j))] for j in cols], dtype=np.int64
+                [sym.block_of[(int(j), int(j))] for j in cols], dtype=np.int32
             ),
         }
 
@@ -205,15 +217,15 @@ class NumericSchedule:
         umax = max((len(sym.upd_lists[j]) for j in range(nh)), default=1)
         umax = max(umax, 1)
         r = {
-            "a_src": np.zeros((nh, rmax), dtype=np.int64),
+            "a_src": np.zeros((nh, rmax), dtype=np.int32),
             "a_tr": np.zeros((nh, rmax), dtype=bool),
             "valid": np.zeros((nh, rmax), dtype=bool),
-            "col_slots": np.zeros((nh, rmax), dtype=np.int64),
-            "col_row_ids": np.zeros((nh, rmax), dtype=np.int64),
+            "col_slots": np.zeros((nh, rmax), dtype=np.int32),
+            "col_row_ids": np.zeros((nh, rmax), dtype=np.int32),
             "row_valid": np.zeros((nh, rmax), dtype=bool),
-            "upd_slots": np.zeros((nh, umax, rmax), dtype=np.int64),
-            "upd_jk_slots": np.zeros((nh, umax), dtype=np.int64),
-            "upd_k": np.zeros((nh, umax), dtype=np.int64),
+            "upd_slots": np.zeros((nh, umax, rmax), dtype=np.int32),
+            "upd_jk_slots": np.zeros((nh, umax), dtype=np.int32),
+            "upd_k": np.zeros((nh, umax), dtype=np.int32),
             "upd_valid": np.zeros((nh, umax), dtype=bool),
         }
         for j in range(nh):
@@ -278,13 +290,13 @@ class NumericSchedule:
         ue = max(1, max((len(e) for e in ext), default=1))
         self.tail_ue = ue
 
-        col_slots = np.zeros((K, K), dtype=np.int64)
-        a_src = np.zeros((K, K), dtype=np.int64)
+        col_slots = np.zeros((K, K), dtype=np.int32)
+        a_src = np.zeros((K, K), dtype=np.int32)
         a_tr = np.zeros((K, K), dtype=bool)
         valid = np.zeros((K, K), dtype=bool)
-        upd_slots = np.zeros((K, ue, K), dtype=np.int64)
-        upd_jk = np.zeros((K, ue), dtype=np.int64)
-        upd_k = np.zeros((K, ue), dtype=np.int64)
+        upd_slots = np.zeros((K, ue, K), dtype=np.int32)
+        upd_jk = np.zeros((K, ue), dtype=np.int32)
+        upd_k = np.zeros((K, ue), dtype=np.int32)
         upd_valid = np.zeros((K, ue), dtype=bool)
         for j in range(K):
             cj = nh + j
@@ -925,7 +937,7 @@ def _solve_scan(sched: NumericSchedule, lflat, atb):
     # forward: L y = b (head columns sequentially, then the dense tail)
     y0 = jnp.zeros_like(b_perm)
     fwd_xs = (
-        jnp.arange(sched.n_head),
+        jnp.arange(sched.n_head, dtype=jnp.int32),
         jnp.asarray(sched.upd_jk_slots),
         jnp.asarray(sched.upd_k),
         jnp.asarray(sched.upd_valid),
@@ -955,7 +967,7 @@ def _bwd_scan(sched: NumericSchedule, lflat, y):
     if sched.tail_k:
         x0 = x0.at[sched.n_head :].set(_tail_bwd_solve(sched, lflat, y))
     bwd_xs = (
-        jnp.arange(sched.n_head)[::-1],
+        jnp.arange(sched.n_head, dtype=jnp.int32)[::-1],
         jnp.asarray(sched.col_slots[::-1]),
         jnp.asarray(sched.col_row_ids[::-1]),
         jnp.asarray(sched.row_valid[::-1]),
@@ -1046,26 +1058,52 @@ def sparse_block_solve(sched: NumericSchedule, ata_flat, atb):
     return _solve_fwd(sched, ata_flat, atb)[0]
 
 
+def _refine_with_factor(sched, lflat, ata_flat, b, x0):
+    """Apply config.REFINE_STEPS mixed-precision IR sweeps reusing the
+    factor (sparse/refine.py; reference f64-solve contract,
+    baspacho_sparse_autograd.py:41)."""
+    from .. import config as _config
+    from .refine import block_matvec, hp_dtype, refine
+
+    steps = _config.REFINE_STEPS
+    if steps <= 0:
+        return x0
+    tables = sched.matvec_tables()
+    hp = hp_dtype(b.dtype)
+    if lflat.ndim == 3:  # SoA factor from the whole-kernel path
+        from .pallas_whole import solve_whole
+
+        inner = lambda r: solve_whole(sched, lflat, r)  # noqa: E731
+    else:
+        inner = lambda r: solve_with_factor(sched, lflat, r)  # noqa: E731
+    return refine(
+        inner, lambda xv: block_matvec(tables, ata_flat, xv, hp), b, x0, steps
+    )
+
+
 def _solve_fwd(sched, ata_flat, atb):
     if _use_whole(sched, ata_flat.dtype, ata_flat.shape[1]):
         from .pallas_whole import factorize_whole, solve_whole
 
         lsoa = factorize_whole(sched, ata_flat)
         x = solve_whole(sched, lsoa, atb)
-        return x, (lsoa, x)
+        x = _refine_with_factor(sched, lsoa, ata_flat, atb, x)
+        return x, (lsoa, ata_flat, x)
     lflat = factorize(sched, ata_flat)
     x = solve_with_factor(sched, lflat, atb)
-    return x, (lflat, x)
+    x = _refine_with_factor(sched, lflat, ata_flat, atb, x)
+    return x, (lflat, ata_flat, x)
 
 
 def _solve_bwd(sched, res, g):
-    lflat, x = res
+    lflat, ata_flat, x = res
     if lflat.ndim == 3:  # SoA residual from the whole-kernel path
         from .pallas_whole import solve_whole
 
         h = solve_whole(sched, lflat, g)
     else:
         h = solve_with_factor(sched, lflat, g)  # H symmetric
+    h = _refine_with_factor(sched, lflat, ata_flat, g, h)
     d_atb = h
 
     pattern = sched.pattern
