@@ -177,3 +177,103 @@ def test_gn_error_history_matches_reference():
     # stores history at float32, which caps the comparable precision)
     for k in range(min(m, 4)):
         np.testing.assert_allclose(ours_hist[k], ref_hist[k], rtol=1e-6, atol=1e-10)
+
+
+def test_implicit_gradient_matches_reference():
+    """BASELINE.md north star: implicit-mode OUTER GRADIENTS match the
+    reference to 1e-6 on the same problem (reference
+    optimizer/nonlinear/nonlinear_least_squares.py:117-135 implicit step;
+    ours layer.py _implicit_final_step). A learnable scalar edge weight w
+    scales all Between costs; loss = <solution poses, fixed M>; compare
+    dloss/dw elementwise in f64."""
+    import jax
+    import jax.numpy as jnp
+
+    import theseus_tpu as tt
+    from theseus_tpu.embodied import Between, Local
+    from theseus_tpu import lie
+
+    n, bsz = 5, 2
+    gt = [rand_se3(bsz, 30 + i) for i in range(n)]
+    edges = [(i, i + 1) for i in range(n - 1)] + [(n - 1, 0)]
+    rng = np.random.RandomState(7)
+    meas = []
+    for (i, j) in edges:
+        rel = np.asarray(
+            jax.vmap(lie.SE3.compose)(
+                jax.vmap(lie.SE3.inverse)(jnp.asarray(gt[i])), jnp.asarray(gt[j])
+            )
+        )
+        nz = np.asarray(lie.SE3.exp(jnp.asarray(rng.randn(bsz, 6) * 0.05)))
+        meas.append(np.asarray(jax.vmap(lie.SE3.compose)(jnp.asarray(rel), jnp.asarray(nz))))
+    init = [
+        np.asarray(
+            jax.vmap(lie.SE3.compose)(
+                jnp.asarray(gt[i]), lie.SE3.exp(jnp.asarray(rng.randn(bsz, 6) * 0.1))
+            )
+        )
+        for i in range(n)
+    ]
+    M = rng.randn(n, bsz, 3, 4)
+    w0 = 1.7
+
+    # ---- ours: jax.grad through implicit mode --------------------------
+    obj = tt.Objective(dtype=jnp.float64)
+    poses = [tt.SE3(name=f"p{i}") for i in range(n)]
+    obj.add(Local(poses[0], jnp.asarray(gt[0]),
+                  tt.ScaleCostWeight(jnp.asarray(10.0, jnp.float64)),
+                  name="prior"))
+    w = tt.ScaleCostWeight(jnp.asarray(w0, jnp.float64), name="w")
+    for ei, (i, j) in enumerate(edges):
+        obj.add(Between(poses[i], poses[j], jnp.asarray(meas[ei]),
+                        cost_weight=w, name=f"e{ei}"))
+    opt = tt.GaussNewton(obj, max_iterations=12)
+    layer = tt.TheseusLayer(opt)
+    co = obj.compile()
+
+    def f(wval):
+        values = obj.default_values(
+            {f"p{i}": jnp.asarray(init[i]) for i in range(n)}
+        )
+        values[w.scale.name] = wval.reshape(1, 1)
+        state = co.pack(values, bsz)
+        aux = co.build_aux(values, bsz)
+        carry = layer.solve_state(state, aux, "implicit", opt.opts)
+        sol = co.unpack(carry["state"])
+        return sum(
+            jnp.sum(sol[f"p{i}"] * jnp.asarray(M[i])) for i in range(n)
+        )
+
+    g_ours = float(jax.grad(f)(jnp.asarray(w0, jnp.float64)))
+
+    # ---- reference: torch autograd through BackwardMode.IMPLICIT -------
+    robj = th.Objective(dtype=torch.float64)
+    rposes = [
+        th.SE3(tensor=torch.tensor(init[i], dtype=torch.float64), name=f"p{i}")
+        for i in range(n)
+    ]
+    rgt0 = th.SE3(tensor=torch.tensor(gt[0], dtype=torch.float64), name="gt0")
+    robj.add(th.Difference(rposes[0], rgt0,
+                           th.ScaleCostWeight(torch.tensor(10.0, dtype=torch.float64)),
+                           name="prior"))
+    rw = th.ScaleCostWeight(torch.tensor(w0, dtype=torch.float64), name="w")
+    for ei, (i, j) in enumerate(edges):
+        rmeas = th.SE3(tensor=torch.tensor(meas[ei], dtype=torch.float64), name=f"m{ei}")
+        robj.add(th.Between(rposes[i], rposes[j], rmeas, rw, name=f"e{ei}"))
+    ropt = th.GaussNewton(robj, max_iterations=12, step_size=1.0, vectorize=True)
+    rlayer = th.TheseusLayer(ropt)
+
+    w_t = torch.tensor([[w0]], dtype=torch.float64, requires_grad=True)
+    inputs = {f"p{i}": torch.tensor(init[i], dtype=torch.float64) for i in range(n)}
+    inputs[rw.scale.name] = w_t
+    sol, _ = rlayer.forward(
+        inputs, optimizer_kwargs={"backward_mode": "implicit"}
+    )
+    loss = sum(
+        (sol[f"p{i}"] * torch.tensor(M[i], dtype=torch.float64)).sum()
+        for i in range(n)
+    )
+    loss.backward()
+    g_ref = float(w_t.grad)
+
+    np.testing.assert_allclose(g_ours, g_ref, rtol=1e-6, atol=1e-9)
