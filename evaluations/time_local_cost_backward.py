@@ -84,8 +84,13 @@ def run_case(group, batch, backward, dtype=jnp.float32, reps=5, steps=10):
             return carry["err"]
 
         def one(eps):
-            for _ in range(steps):
-                e = fwd(state[tk], eps)
+            # vary eps per step: bit-identical repeated dispatches are the
+            # exact pattern the remote executor's cross-process result cache
+            # serves for free (utils.fresh_eps rationale), which would
+            # under-measure this arm relative to the fwd+bwd arm whose
+            # inputs evolve every step
+            for i in range(steps):
+                e = fwd(state[tk], eps + jnp.asarray(i * 1e-12, dtype))
             return np.asarray(e)
 
     z = jnp.asarray(0, dtype)

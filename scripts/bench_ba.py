@@ -7,7 +7,7 @@ Run on the TPU:
 
     python scripts/bench_ba.py [--sizes 16x200,64x800] [--bal path.txt]
 
-Appends a table to BENCH_SWEEP.md.
+Appends a raw table to BENCH_SWEEP_RAW.md (curate into BENCH_SWEEP.md).
 """
 
 import argparse
@@ -23,7 +23,9 @@ import numpy as np
 
 from theseus_tpu.utils import fresh_eps
 
-OUT = pathlib.Path(__file__).resolve().parents[1] / "BENCH_SWEEP.md"
+# raw results append here; BENCH_SWEEP.md is curated by hand (same split as
+# bench_sweep.py — raw bench runs must not edit the curated document)
+OUT = pathlib.Path(__file__).resolve().parents[1] / "BENCH_SWEEP_RAW.md"
 
 
 def build(cameras, points, backend, batch=1, bal_path=None, dtype=jnp.float32,
@@ -185,6 +187,9 @@ def main(sizes, backends, bal_path, batch=1, schur_w="auto", profile=False):
                 for name, pms in profile_phases(layer, state, aux, backend):
                     print(f"    {name:18s}: {pms:9.3f} ms", flush=True)
 
+    if not rows:
+        print("no rows measured; nothing appended")
+        return
     with open(OUT, "a") as f:
         f.write("\n## Bundle adjustment (LM, single chip)\n\n")
         f.write("| cameras | points | observations | batch | backend | W | ms/LM-iter | MFU % | first-call compile s |\n")
