@@ -77,7 +77,7 @@ def bench_ours_ik(batches, reps):
     from theseus_tpu.kin import Robot, get_forward_kinematics_fns
     from theseus_tpu.utils import fresh_eps
 
-    robot = Robot.from_urdf_string(ARM_7DOF, dtype=jnp.float32)
+    robot = Robot.from_urdf_string(ARM_7DOF)
     fk, _, _ = get_forward_kinematics_fns(robot, ["ee"])
     dof = robot.dof
 

@@ -66,9 +66,28 @@ def main():
     p.add_argument("--dtype", default="float32")
     p.add_argument("--linearization", default="sparse")
     p.add_argument("--json", default=None)
+    p.add_argument(
+        "--x64", action="store_true",
+        help="enable jax x64 so the refinement tier (sparse/refine.py) "
+        "accumulates residuals in f64 — the reference's f64-solve contract "
+        "(problem dtype stays --dtype, f32 by default, like the reference's "
+        "f32 problem / f64 solve convention)",
+    )
+    p.add_argument(
+        "--refine", type=int, default=None,
+        help="override config.REFINE_STEPS (refinement sweeps per solve)",
+    )
     args = p.parse_args()
 
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
     import theseus_tpu as tt
+
+    if args.refine is not None:
+        from theseus_tpu import config as _cfg
+
+        _cfg.set_refine_steps(args.refine)
 
     dtype = jnp.float32 if args.dtype == "float32" else jnp.float64
     data = np.load(args.npz)
@@ -113,10 +132,14 @@ def main():
         return min(ts)
 
     per_iter_ms = (t(f_b) - t(f_a)) / (args.iters - args.iters_base) * 1e3
+    from theseus_tpu import config as _cfg
+
     rec = {
         "npz": args.npz, "problem": problem, "framework": "theseus_tpu",
         "platform": jax.devices()[0].platform, "dtype": args.dtype,
         "linearization": args.linearization, "batch": batch,
+        "x64": bool(jax.config.jax_enable_x64),
+        "refine_steps": int(_cfg.REFINE_STEPS),
         "per_iter_ms": round(per_iter_ms, 4),
         "err_history_mean": err_hist,
     }

@@ -1,0 +1,105 @@
+"""Constant hoisting (utils/hoist.py): large trace-time constants become
+runtime parameters; results and gradients are unchanged.
+
+Covers the compile-latency defect class from BENCH_SWEEP.md: the symbolic
+plan's gather tables were inline HLO literals (74% of program text at
+sphere2500, compiler-crashing at BA 256x8000)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import theseus_tpu as tt
+from theseus_tpu import config as cfg
+from theseus_tpu.utils.hoist import hoist_jit
+
+
+def test_hoist_jit_moves_big_constants_to_params():
+    tbl = np.arange(8192, dtype=np.int32) % 17
+
+    def f(x):
+        t = jnp.asarray(tbl)
+        return jnp.sum(x[t])
+
+    x = jnp.arange(32.0)
+    wrapped = hoist_jit(f)
+    np.testing.assert_allclose(np.asarray(wrapped(x)), np.asarray(f(x)))
+
+    # a plain jit of f embeds the 8192-entry table as one huge literal line;
+    # the hoisted program must not (the table arrives as a parameter)
+    baked_txt = jax.jit(f).lower(x).as_text()
+    assert any(len(line) > 8192 for line in baked_txt.splitlines())
+
+    from jax import tree_util
+
+    from theseus_tpu.utils.hoist import _build
+
+    flat, treedef = tree_util.tree_flatten((x,))
+    entry = _build(f, (x,), flat, treedef, min_bytes=4096)
+    assert len(entry.hoisted) == 1  # the table was lifted
+    hoisted_txt = entry.call.lower(entry.hoisted, *flat).as_text()
+    assert all(len(line) < 8192 for line in hoisted_txt.splitlines())
+
+
+def test_hoist_jit_grad_and_dedup():
+    tbl_a = np.arange(4096, dtype=np.int32) % 13
+    tbl_b = np.arange(4096, dtype=np.int32) % 13  # identical content
+
+    def f(x):
+        return jnp.sum(x[jnp.asarray(tbl_a)] * 2.0 + x[jnp.asarray(tbl_b)])
+
+    x = jnp.linspace(0.0, 1.0, 64)
+    wrapped = hoist_jit(f)
+    np.testing.assert_allclose(
+        np.asarray(wrapped(x)), np.asarray(f(x)), rtol=1e-6
+    )
+    g1 = jax.grad(wrapped)(x)
+    g0 = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+
+def test_hoist_jit_none_and_pytree_args():
+    def f(d, mask):
+        out = d["a"] + d["b"]
+        if mask is not None:
+            out = jnp.where(mask, out, 0.0)
+        return {"out": out}
+
+    wrapped = hoist_jit(f)
+    d = {"a": jnp.ones(4), "b": jnp.arange(4.0)}
+    r = wrapped(d, None)
+    np.testing.assert_allclose(np.asarray(r["out"]), [1, 2, 3, 4])
+    m = jnp.asarray([True, False, True, False])
+    r2 = wrapped(d, m)
+    np.testing.assert_allclose(np.asarray(r2["out"]), [1, 0, 3, 0])
+
+
+@pytest.mark.parametrize("hoist", [False, True])
+def test_layer_forward_identical_with_and_without_hoisting(hoist):
+    """The flagship layer path produces bit-identical results either way."""
+    from theseus_tpu.utils.examples.pose_graph import (
+        build_pgo_objective,
+        pose_values,
+        synthetic_pose_graph,
+    )
+
+    old = cfg.HOIST_CONSTANTS
+    try:
+        cfg.set_hoist_constants(hoist)
+        gt, edges, meas, init = synthetic_pose_graph(
+            n_poses=16, batch=2, seed=0, dtype=jnp.float32
+        )
+        obj, _ = build_pgo_objective(16, edges, meas, gt[0], dtype=jnp.float32)
+        opt = tt.LevenbergMarquardt(obj, max_iterations=6)
+        layer = tt.TheseusLayer(opt)
+        out, info = layer.forward(pose_values(init))
+        err = np.asarray(info.last_err)
+    finally:
+        cfg.set_hoist_constants(old)
+
+    # pin against a golden from the non-hoisted path computed in-process
+    if not hasattr(test_layer_forward_identical_with_and_without_hoisting, "_golden"):
+        test_layer_forward_identical_with_and_without_hoisting._golden = err
+    golden = test_layer_forward_identical_with_and_without_hoisting._golden
+    np.testing.assert_array_equal(err, golden)

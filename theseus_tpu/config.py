@@ -144,6 +144,22 @@ def set_atb_high_precision(enabled: bool) -> None:
 
 
 # ---------------------------------------------------------------------------
+# Constant hoisting (utils/hoist.py): pass the symbolic plan's gather/index
+# tables to compiled programs as runtime parameters instead of inline HLO
+# literals. Literals were 74% of the sphere2500 program text and crashed the
+# remote compiler at BA 256x8000; hoisting shrinks the program and the
+# compile-RPC body. Disable to A/B or if a backend mis-handles parameter-fed
+# gathers.
+# ---------------------------------------------------------------------------
+HOIST_CONSTANTS = True
+
+
+def set_hoist_constants(enabled: bool) -> None:
+    global HOIST_CONSTANTS
+    HOIST_CONSTANTS = bool(enabled)
+
+
+# ---------------------------------------------------------------------------
 # Sparse-solver block padding: round the uniform block dof up to a multiple
 # of this value (e.g. 8 = TPU f32 sublane count, so 6-dof SE3 blocks tile as
 # 8x8 instead of a ragged 6x6). Padding dims carry identity diagonals in the

@@ -39,10 +39,27 @@ class TheseusLayer:
         # bucketing); the flag is accepted for API parity.
         self.optimizer = optimizer
         self.objective = optimizer.objective
-        self._jitted_solve = jax.jit(
-            self._solve,
-            static_argnames=("mode", "opts", "backward_num_iterations", "keep_step_size"),
-        )
+        # per-(mode, opts, ...) hoist_jit closures: the solve compiles with
+        # the symbolic plan's gather tables as runtime parameters, not HLO
+        # literals (utils/hoist.py; program text was 74% literals before)
+        self._solve_cache: Dict = {}
+
+    def _jitted_solve(self, state, aux, *, mode, opts,
+                      backward_num_iterations, keep_step_size,
+                      batch_ignore_mask):
+        key = (mode, opts, backward_num_iterations, keep_step_size)
+        fn = self._solve_cache.get(key)
+        if fn is None:
+            from .utils.hoist import hoist_jit
+
+            def solve(state, aux, mask):
+                return self._solve(state, aux, mode, opts,
+                                   backward_num_iterations, keep_step_size,
+                                   mask)
+
+            fn = hoist_jit(solve)
+            self._solve_cache[key] = fn
+        return fn(state, aux, batch_ignore_mask)
 
     # ------------------------------------------------------------------
     def forward(

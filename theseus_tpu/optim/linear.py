@@ -60,8 +60,9 @@ class DenseCholeskySolver:
         # solve contract of its sparse backends is matched here too so all
         # linearizations share one precision story)
         from .. import config as _config
+        from ..sparse.refine import refine_active
 
-        if _config.REFINE_STEPS > 0:
+        if refine_active(Atb.dtype):
             from ..sparse.refine import hp_dtype, refine
 
             hp = hp_dtype(Atb.dtype)

@@ -354,7 +354,9 @@ class NonlinearLeastSquares:
                     carry = self.run_while(carry, aux, opts.max_iterations, opts)
                 return carry
 
-            fn = jax.jit(solve)
+            from ..utils.hoist import hoist_jit
+
+            fn = hoist_jit(solve)
             self._jit_cache[cache_key] = fn
         carry = fn(state, aux, batch_ignore_mask)
         info = self.make_info(carry, opts)

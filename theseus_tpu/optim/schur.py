@@ -102,8 +102,9 @@ class SchurNormal:
         x_blocks = apply_fn(rhs)
 
         from .. import config as _config
+        from ..sparse.refine import refine_active
 
-        if _config.REFINE_STEPS > 0:
+        if refine_active(dtype):
             from ..sparse.refine import block_matvec, hp_dtype, refine
 
             tables = bld.matvec_tables()

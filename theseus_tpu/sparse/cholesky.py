@@ -1063,10 +1063,10 @@ def _refine_with_factor(sched, lflat, ata_flat, b, x0):
     factor (sparse/refine.py; reference f64-solve contract,
     baspacho_sparse_autograd.py:41)."""
     from .. import config as _config
-    from .refine import block_matvec, hp_dtype, refine
+    from .refine import block_matvec, hp_dtype, refine, refine_active
 
     steps = _config.REFINE_STEPS
-    if steps <= 0:
+    if not refine_active(b.dtype):
         return x0
     tables = sched.matvec_tables()
     hp = hp_dtype(b.dtype)

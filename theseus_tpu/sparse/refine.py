@@ -45,6 +45,21 @@ def hp_dtype(dtype):
     return jnp.dtype(dtype)
 
 
+def refine_active(dtype) -> bool:
+    """True when the refinement tier can actually tighten the forward error.
+
+    Active iff config.REFINE_STEPS > 0 AND a strictly higher-precision
+    accumulation dtype exists in this process (x64 enabled and solving below
+    f64). In a pure-f32 process fixed-precision IR would add one SpMV + one
+    re-solve per iteration without beating the f32 forward-error bound, so
+    the tier gates itself off — enabling x64 is the opt-in to the
+    reference's f64-solve contract (the shipped examples and the accuracy
+    evaluations do; see evaluations/results_reference.md)."""
+    from .. import config as _config
+
+    return _config.REFINE_STEPS > 0 and hp_dtype(dtype) != np.dtype(dtype)
+
+
 class MatvecTables(NamedTuple):
     """Static gather tables for y = H x over canonical (i <= j) blocks."""
 

@@ -1,0 +1,148 @@
+"""Constant-hoisting jit: gather/index tables as runtime parameters.
+
+The sparse solver's symbolic plan (cholesky.py NumericSchedule, Schur
+tables, assembly gather schedules) is host numpy converted with
+``jnp.asarray`` at trace time, so a plain ``jax.jit`` embeds every table as
+an inline HLO literal. Measured at sphere2500 scale the literals are 74% of
+the program text (1.28 MB of 1.74 MB); at BA 256x8000 they crash the remote
+TPU compiler outright (dense-W SIGABRT) or exceed the compile-RPC body
+limit (sparse-W 413) — see BENCH_SWEEP.md. The reference has no analogue of
+this failure mode because torch executes eagerly; first-call latency is the
+one UX axis where a traced design regresses, so program size is a
+first-class defect here.
+
+``hoist_jit`` is a drop-in for ``jax.jit`` on pure pytree->pytree functions
+that lifts large jaxpr constants into runtime arguments:
+
+    trace once with jax.make_jaxpr      -> closed.consts holds the tables
+    dedup consts by content             -> identical tables (the solver
+                                           reuses several) upload once
+    re-emit via jax.core.eval_jaxpr     -> consts become function PARAMETERS
+    jax.jit the converted callable      -> HLO carries no big literals
+
+jax.closure_convert does not do this in current JAX (it hoists only outer
+tracers, returning [] for numpy/device-array constants — verified on 0.9.0).
+
+Gradients, scans, while loops, custom_jvp/vjp and pallas_call eqns replay
+through eval_jaxpr unchanged; outer jax.grad of the wrapped callable
+differentiates the replayed eqns exactly as it would the original (pinned
+by tests/utils/test_hoist.py).
+
+Costs: one extra abstract trace per input signature (the make_jaxpr pass)
+and one host->device upload of the deduped tables per signature; per-call
+overhead is only the argument plumbing. Tables arrive as parameters, which
+denies XLA constant-specific folds (e.g. turning a constant gather into
+slices); the bench gate A/Bs this on hardware — measured neutral on the
+flagship (BENCH_SWEEP.md round-5 section).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import warnings
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import core, tree_util
+
+
+def _content_key(x) -> Tuple:
+    a = np.asarray(x)
+    return (str(a.dtype), a.shape, hashlib.sha1(a.tobytes()).hexdigest())
+
+
+class _Entry:
+    __slots__ = ("call", "hoisted")
+
+    def __init__(self, call, hoisted):
+        self.call = call
+        self.hoisted = hoisted
+
+
+def hoist_jit(fn: Callable, *, min_bytes: int = 4096) -> Callable:
+    """jit(fn) with large trace-time constants passed as runtime args.
+
+    fn must be a pure function of positional pytree arguments (no static
+    arguments — close over those before wrapping). Honors
+    config.HOIST_CONSTANTS at call time; on any failure to convert, falls
+    back to plain jax.jit with a one-shot warning.
+    """
+    plain = jax.jit(fn)
+    cache: Dict[Any, _Entry] = {}
+    failed = [False]
+
+    def wrapped(*args):
+        from .. import config as _config
+
+        if failed[0] or not getattr(_config, "HOIST_CONSTANTS", True):
+            return plain(*args)
+
+        flat, treedef = tree_util.tree_flatten(args)
+        # abstractify without touching device buffers (np.asarray here would
+        # force a D2H copy of the whole state every call)
+        avals = tuple(
+            (
+                str(getattr(x, "dtype", None) or np.asarray(x).dtype),
+                np.shape(x),
+                bool(getattr(x, "weak_type", False)),
+            )
+            for x in flat
+        )
+        key = (treedef, avals)
+        entry = cache.get(key)
+        if entry is None:
+            try:
+                entry = _build(fn, args, flat, treedef, min_bytes)
+            except Exception as e:  # pragma: no cover - safety net
+                warnings.warn(
+                    f"hoist_jit: constant hoisting failed ({type(e).__name__}: "
+                    f"{e}); falling back to plain jit for this function"
+                )
+                failed[0] = True
+                return plain(*args)
+            cache[key] = entry
+        return entry.call(entry.hoisted, *flat)
+
+    wrapped.__wrapped__ = fn
+    return wrapped
+
+
+def _build(fn, args, flat, treedef, min_bytes) -> _Entry:
+    def flat_fn(*leaves):
+        return fn(*tree_util.tree_unflatten(treedef, leaves))
+
+    closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat)
+    out_tree = tree_util.tree_structure(out_shape)
+    consts = list(closed.consts)
+
+    # split: big constants become runtime args (deduped by content so the
+    # solver's repeated tables upload once); small ones stay baked
+    uniq: Dict[Tuple, int] = {}
+    hoisted_arrays = []
+    spec = []  # per-const: ('baked', value) | ('hoisted', uniq_index)
+    for c in consts:
+        a = np.asarray(c)
+        if a.nbytes < min_bytes:
+            spec.append(("baked", c))
+            continue
+        k = _content_key(a)
+        idx = uniq.get(k)
+        if idx is None:
+            idx = len(hoisted_arrays)
+            uniq[k] = idx
+            hoisted_arrays.append(jnp.asarray(c))
+        spec.append(("hoisted", idx))
+    hoisted = tuple(hoisted_arrays)
+
+    jaxpr = closed.jaxpr
+
+    def converted(hoisted_args, *leaves):
+        full = [
+            v if kind == "baked" else hoisted_args[v] for kind, v in spec
+        ]
+        out_flat = core.eval_jaxpr(jaxpr, full, *leaves)
+        return tree_util.tree_unflatten(out_tree, out_flat)
+
+    return _Entry(jax.jit(converted), hoisted)
