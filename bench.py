@@ -82,7 +82,9 @@ def _time_iters(layer, state, aux, n_iters, reps=4):
     timing."""
     opts = layer.optimizer.opts
 
-    @jax.jit
+    from theseus_tpu.utils.hoist import hoist_jit
+
+    @hoist_jit
     def fwd(state, aux, eps):
         state = {k: v * (1.0 + eps) for k, v in state.items()}
         carry = layer.optimizer.init_carry(state, aux, opts)
@@ -102,7 +104,9 @@ def _time_iters(layer, state, aux, n_iters, reps=4):
 def _final_err(layer, state, aux, n_iters):
     opts = layer.optimizer.opts
 
-    @jax.jit
+    from theseus_tpu.utils.hoist import hoist_jit
+
+    @hoist_jit
     def fwd(state, aux):
         carry = layer.optimizer.init_carry(state, aux, opts)
         carry = layer.optimizer.run_scan(carry, aux, n_iters, opts)

@@ -68,7 +68,9 @@ def per_iter_ms(layer, state, aux, base=4, extra=24, want_flops=False):
     opts = layer.optimizer.opts
 
     def make(n):
-        @jax.jit
+        from theseus_tpu.utils.hoist import hoist_jit
+
+        @hoist_jit
         def fwd(state, aux, eps):
             # cache-proof: the remote executor serves bit-identical repeated
             # executions from a result cache; perturb the input per rep

@@ -33,7 +33,9 @@ def per_iter_ms(layer, state, aux, base=2, extra=32, reps=3):
     opts = layer.optimizer.opts
 
     def make(n):
-        @jax.jit
+        from theseus_tpu.utils.hoist import hoist_jit
+
+        @hoist_jit
         def fwd(state, aux, eps):
             state = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = layer.optimizer.init_carry(state, aux, opts)

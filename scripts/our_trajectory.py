@@ -110,7 +110,9 @@ def main():
     opts = layer.optimizer.opts
 
     def make(n):
-        @jax.jit
+        from theseus_tpu.utils.hoist import hoist_jit
+
+        @hoist_jit
         def fwd(state, aux, eps):
             st = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = layer.optimizer.init_carry(st, aux, opts)

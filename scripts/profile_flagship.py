@@ -124,7 +124,9 @@ def main(n_poses, batch):
     opts = opt.opts
 
     def make(n):
-        @jax.jit
+        from theseus_tpu.utils.hoist import hoist_jit
+
+        @hoist_jit
         def fwd(state, aux, eps):
             state = {k: v * (1.0 + eps) for k, v in state.items()}
             carry = opt.init_carry(state, aux, opts)
