@@ -186,13 +186,19 @@ def bench_reference_ik(batches, reps):
               "/root/reference/torchkin"):
         if p not in sys.path:
             sys.path.insert(0, p)
+    import tempfile
+
     import numpy as np
     import torch
 
     import theseus as th
     from torchkin import Robot, get_forward_kinematics_fns
 
-    robot = Robot.from_urdf_string(ARM_7DOF, dtype=torch.float32)
+    # the reference Robot only loads from a file path
+    with tempfile.NamedTemporaryFile("w", suffix=".urdf", delete=False) as f:
+        f.write(ARM_7DOF)
+        urdf_path = f.name
+    robot = Robot.from_urdf_file(urdf_path, dtype=torch.float32)
     fk, _, _ = get_forward_kinematics_fns(robot, ["ee"])
     dof = robot.dof
 

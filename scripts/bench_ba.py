@@ -171,7 +171,7 @@ def main(sizes, backends, bal_path, batch=1, schur_w="auto", profile=False):
                 B = batch
                 try:
                     nb = layer.optimizer.normal_builder
-                    Cd = C * nb.pattern.d
+                    Cd = C * nb.cam_d  # true camera dof (dc-sliced axis)
                     Pdp = P * nb.pt_d
                 except AttributeError:
                     Cd, Pdp = C * 6, P * 3

@@ -6,4 +6,5 @@ from .checks import (
     gather_from_rows_cols,
     numeric_jacobian,
 )
+from .hoist import hoist_jit
 from .timer import Profiler, Timer, fresh_eps
