@@ -18,6 +18,6 @@ timeout 2400 $B --npz /tmp/pgo_512x32.npz  --solver dense --iters-base 1 --iters
 timeout 3600 $B --npz /tmp/pgo_2048x8.npz  --solver scipy_sparse --iters-base 1 --iters 5
 timeout 3600 $B --npz /tmp/pgo_2500x1.npz  --solver scipy_sparse
 timeout 5400 $B --npz /tmp/pgo_4096x8.npz  --solver scipy_sparse --iters-base 1 --iters 4 --reps 2
-timeout 2400 $B --npz /tmp/ba_16x200.npz   --solver scipy_sparse --ellipsoidal
-timeout 5400 $B --npz /tmp/ba_64x800.npz   --solver scipy_sparse --ellipsoidal --iters-base 1 --iters 5 --reps 2
+timeout 2400 $B --npz /tmp/ba_16x200.npz   --solver scipy_sparse
+timeout 5400 $B --npz /tmp/ba_64x800.npz   --solver scipy_sparse --iters-base 1 --iters 5 --reps 2
 echo SUITE_DONE

@@ -62,6 +62,7 @@ _SLOW_NODEIDS = {
     "tests/test_pgo_golden.py::test_pgo_learned_radius_golden_f32[dense]",
     "tests/test_pgo_golden.py::test_pgo_learned_radius_golden_f32[sparse]",
     "tests/optim/test_schur.py::test_schur_delta_matches_dense",
+    "tests/optim/test_refine.py::test_refined_f32_reaches_f64_plateau_at_scale",
     "tests/core/test_layer_features.py::test_compute_samples_sparse_matches_dense_cov",
     "tests/optim/test_sparse.py::test_sparse_matches_dense_pgo[mixed-dof]",
     "tests/embodied/test_measurements.py::test_between_analytic_matches_autodiff[SE3]",

@@ -183,7 +183,9 @@ class DCEM(NonlinearLeastSquares):
         cache_key = (co, opts)
         fn = self._jit_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(lambda s, a, k: self.solve(s, a, k, opts))
+            from ..utils.hoist import hoist_jit
+
+            fn = hoist_jit(lambda s, a, k: self.solve(s, a, k, opts))
             self._jit_cache[cache_key] = fn
         carry = fn(state, aux, key)
         info = self.make_info(carry, opts)
