@@ -58,6 +58,12 @@ def build_ba(data, dtype):
     return obj, values, int(data["poses"].shape[1]), opt_kwargs
 
 
+def _apply_damping_override(opt_kwargs, args):
+    if args.no_ellipsoidal:
+        opt_kwargs["ellipsoidal_damping"] = False
+    return opt_kwargs
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--npz", required=True)
@@ -77,6 +83,13 @@ def main():
         "--refine", type=int, default=None,
         help="override config.REFINE_STEPS (refinement sweeps per solve)",
     )
+    p.add_argument(
+        "--no-ellipsoidal", action="store_true",
+        help="BA only: plain adaptive damping instead of ellipsoidal - the "
+        "reference's sparse path cannot run ellipsoidal (its adaptive "
+        "accept path asserts), so this gives the apples-to-apples "
+        "trajectory comparison",
+    )
     args = p.parse_args()
 
     if args.x64:
@@ -94,6 +107,7 @@ def main():
     problem = str(data["problem"])
     builder = build_pgo if problem == "pgo" else build_ba
     obj, values, batch, opt_kwargs = builder(data, dtype)
+    opt_kwargs = _apply_damping_override(opt_kwargs, args)
     opt = tt.LevenbergMarquardt(
         obj, max_iterations=args.iters, linearization=args.linearization,
         **opt_kwargs,
@@ -142,6 +156,7 @@ def main():
         "linearization": args.linearization, "batch": batch,
         "x64": bool(jax.config.jax_enable_x64),
         "refine_steps": int(_cfg.REFINE_STEPS),
+        "ellipsoidal": bool(opt_kwargs.get("ellipsoidal_damping", False)),
         "per_iter_ms": round(per_iter_ms, 4),
         "err_history_mean": err_hist,
     }
