@@ -103,3 +103,30 @@ def test_layer_forward_identical_with_and_without_hoisting(hoist):
         test_layer_forward_identical_with_and_without_hoisting._golden = err
     golden = test_layer_forward_identical_with_and_without_hoisting._golden
     np.testing.assert_array_equal(err, golden)
+
+def test_hoist_jit_lower_compile_shim():
+    """AOT path: wrapped.lower(args).compile() takes the ORIGINAL args,
+    exposes cost_analysis/as_text, and still hoists the tables (the bench
+    harnesses compile heavy BA programs exactly once through this)."""
+    tbl = np.arange(8192, dtype=np.int32) % 17
+
+    def f(x):
+        return jnp.sum(x[jnp.asarray(tbl)])
+
+    x = jnp.arange(32.0)
+    wrapped = hoist_jit(f)
+    lowered = wrapped.lower(x)
+    assert all(len(line) < 8192 for line in lowered.as_text().splitlines())
+    compiled = lowered.compile()
+    np.testing.assert_allclose(np.asarray(compiled(x)), np.asarray(f(x)))
+    ca = compiled.cost_analysis()
+    assert ca is None or isinstance(ca, (dict, list))
+
+    # fallback arm: with hoisting off, lower() must defer to plain jit
+    old = cfg.HOIST_CONSTANTS
+    try:
+        cfg.set_hoist_constants(False)
+        compiled2 = wrapped.lower(x).compile()
+        np.testing.assert_allclose(np.asarray(compiled2(x)), np.asarray(f(x)))
+    finally:
+        cfg.set_hoist_constants(old)

@@ -105,8 +105,83 @@ def hoist_jit(fn: Callable, *, min_bytes: int = 4096) -> Callable:
             cache[key] = entry
         return entry.call(entry.hoisted, *flat)
 
+    def lower(*args):
+        """AOT mirror of jax.jit(fn).lower(*args) with the same hoisting.
+
+        Returns a shim whose .compile() yields a callable taking the
+        ORIGINAL args (the hoisted tables are bound internally) and
+        exposing cost_analysis()/as_text() — what the bench harnesses
+        need to compile exactly once per executable on the remote TPU
+        (the 205k-cost BA programs are heavy enough that a duplicate
+        compile drops the tunnel connection)."""
+        from .. import config as _config
+
+        if failed[0] or not getattr(_config, "HOIST_CONSTANTS", True):
+            return plain.lower(*args)
+        flat, treedef = tree_util.tree_flatten(args)
+        avals = tuple(
+            (
+                str(getattr(x, "dtype", None) or np.asarray(x).dtype),
+                np.shape(x),
+                bool(getattr(x, "weak_type", False)),
+            )
+            for x in flat
+        )
+        key = (treedef, avals)
+        entry = cache.get(key)
+        if entry is None:
+            try:
+                entry = _build(fn, args, flat, treedef, min_bytes)
+            except Exception as e:  # pragma: no cover - safety net
+                warnings.warn(
+                    f"hoist_jit: constant hoisting failed ({type(e).__name__}:"
+                    f" {e}); falling back to plain jit for this function"
+                )
+                failed[0] = True
+                return plain.lower(*args)
+            cache[key] = entry
+        return _LoweredShim(
+            entry.call.lower(entry.hoisted, *flat), entry.hoisted
+        )
+
     wrapped.__wrapped__ = fn
+    wrapped.lower = lower
     return wrapped
+
+
+class _LoweredShim:
+    """Mirrors jax.stages.Lowered for a hoisted function."""
+
+    def __init__(self, lowered, hoisted):
+        self._lowered = lowered
+        self._hoisted = hoisted
+
+    def as_text(self, *a, **kw):
+        return self._lowered.as_text(*a, **kw)
+
+    def compile(self, *a, **kw):
+        return _CompiledShim(self._lowered.compile(*a, **kw), self._hoisted)
+
+
+class _CompiledShim:
+    """Mirrors jax.stages.Compiled: call with the ORIGINAL args."""
+
+    def __init__(self, compiled, hoisted):
+        self._compiled = compiled
+        self._hoisted = hoisted
+
+    def __call__(self, *args):
+        flat, _ = tree_util.tree_flatten(args)
+        return self._compiled(self._hoisted, *flat)
+
+    def cost_analysis(self):
+        return self._compiled.cost_analysis()
+
+    def as_text(self, *a, **kw):
+        return self._compiled.as_text(*a, **kw)
+
+    def memory_analysis(self):
+        return self._compiled.memory_analysis()
 
 
 def _build(fn, args, flat, treedef, min_bytes) -> _Entry:
