@@ -23,7 +23,20 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent XLA compilation cache: the suite is compile-bound (hundreds of
 # distinct jit signatures); re-runs hit the on-disk cache instead.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# Namespaced by a host fingerprint: XLA:CPU AOT entries are machine-specific,
+# and a shared checkout can be exercised from more than one machine — foreign
+# entries fail to load with a SIGILL-risk warning per jit signature (observed
+# 2026-08-19) and force recompiles anyway.
+import hashlib
+import platform
+
+_host = hashlib.sha1(
+    (platform.machine() + ":" + (platform.processor() or "")
+     + ":" + platform.node()).encode()
+).hexdigest()[:8]
+_cache_dir = os.path.join(
+    os.path.dirname(__file__), "..", f".jax_cache_{_host}"
+)
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
