@@ -108,14 +108,23 @@ def test_fused_path_gradients():
     np.testing.assert_allclose(g_fused, g_vmap, rtol=2e-3)
 
 
-def test_fused_reprojection_matches_autodiff():
-    """Closed-form fused Reprojection jacobians vs the jacfwd path."""
+@pytest.mark.parametrize(
+    "K,B",
+    [
+        (8, 8),    # fold = 16
+        (5, 1),    # fold = 128 (BA batch-1 layout), K padded
+        (4, 3),    # 128 % 3 != 0 -> no fold, lane-padded path
+        (2, 128),  # fold = 1, full lanes
+    ],
+)
+def test_fused_reprojection_matches_autodiff(K, B):
+    """Closed-form fused Reprojection jacobians vs the jacfwd path, across
+    the observation-folding regimes (fold = 128//B when B divides 128)."""
     import theseus_tpu as tt
     from theseus_tpu.ops.pallas_reprojection import (
         _reference_linearize, reprojection_linearize_soa)
 
     key = jax.random.PRNGKey(0)
-    K, B = 8, 8
     pose = se3.rand(key, K, B, dtype=jnp.float32)
     point = jax.random.normal(jax.random.PRNGKey(1), (K, B, 3), dtype=jnp.float32)
     point = point + jnp.asarray([0.0, 0.0, 5.0], jnp.float32)

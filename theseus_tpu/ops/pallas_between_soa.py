@@ -281,22 +281,38 @@ def _between_linearize_kernel(v1, v2, meas, block_edges: int = 4,
     from jax.experimental.pallas import tpu as pltpu
 
     k, b = v1.shape[0], v1.shape[1]
-    pad = (-k) % block_edges
+    # Edge folding (same trick as ops/pallas_reprojection.py): the lane axis
+    # carries the batch and Mosaic pads lanes to 128, so at b < 128 every
+    # operand/output inflates 128/b x in HBM and the kernel computes on
+    # mostly-masked lanes. Each lane is an independent (edge, batch) pair,
+    # so fold = 128//b consecutive edges share one lane block instead;
+    # element-wise arithmetic is bit-identical.
+    fold = 128 // b if (b < 128 and 128 % b == 0) else 1
+    quantum = block_edges * fold
+    pad = (-k) % quantum
     if pad:
         v1, v2, meas = (
             jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
             for x in (v1, v2, meas)
         )
     kp = k + pad
+    kf = kp // fold
+    lanes = fold * b
 
-    def soa(x):  # (K, B, 3, 4) -> (K, 12, B)
-        return jnp.moveaxis(x.reshape(kp, b, 12), -1, 1)
+    def soa(x):  # (K, B, 3, 4) -> (K/fold, 12, fold*B)
+        flat = x.reshape(kf, fold, b, 12)
+        return jnp.transpose(flat, (0, 3, 1, 2)).reshape(kf, 12, lanes)
 
-    grid = (kp // block_edges,)
+    def unfold(y, rows):  # (K/fold, rows, fold*B) -> (K, rows, B)
+        y = y.reshape(kf, rows, fold, b)
+        return jnp.transpose(y, (0, 2, 1, 3)).reshape(kp, rows, b)
+
+    grid = (kf // block_edges,)
 
     def spec(rows):
         return pl.BlockSpec(
-            (block_edges, rows, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (block_edges, rows, lanes), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM
         )
 
     j1, j2, err = pl.pallas_call(
@@ -305,13 +321,14 @@ def _between_linearize_kernel(v1, v2, meas, block_edges: int = 4,
         in_specs=[spec(12)] * 3,
         out_specs=(spec(36), spec(36), spec(6)),
         out_shape=(
-            jax.ShapeDtypeStruct((kp, 36, b), v1.dtype),
-            jax.ShapeDtypeStruct((kp, 36, b), v1.dtype),
-            jax.ShapeDtypeStruct((kp, 6, b), v1.dtype),
+            jax.ShapeDtypeStruct((kf, 36, lanes), v1.dtype),
+            jax.ShapeDtypeStruct((kf, 36, lanes), v1.dtype),
+            jax.ShapeDtypeStruct((kf, 6, lanes), v1.dtype),
         ),
         interpret=interpret,
     )(soa(v1), soa(v2), soa(meas))
 
+    j1, j2, err = (unfold(j1, 36), unfold(j2, 36), unfold(err, 6))
     return (
         jnp.moveaxis(j1, 1, -1)[:k].reshape(k, b, 6, 6),
         jnp.moveaxis(j2, 1, -1)[:k].reshape(k, b, 6, 6),

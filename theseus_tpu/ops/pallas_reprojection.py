@@ -130,23 +130,39 @@ def _run_kernel(pose, point, focal, feat, k1, k2, block_edges, interpret):
     from jax.experimental.pallas import tpu as pltpu
 
     k, b = pose.shape[0], pose.shape[1]
-    pad = (-k) % block_edges
+    # Observation folding: the lane axis carries the batch, and Mosaic pads
+    # lanes to 128 — at batch 1 that is a 128x HBM expansion on every
+    # operand (observed 170x incl. sublane padding at BA 256x8000: 19.96 GB
+    # requested, chip OOM). Every lane is an independent (observation,
+    # batch-element) pair, so when b < 128 we fold `fold` consecutive
+    # observations into one lane block instead; element-wise arithmetic is
+    # bit-identical, only the lane placement changes.
+    fold = 128 // b if (b < 128 and 128 % b == 0) else 1
+    quantum = block_edges * fold
+    pad = (-k) % quantum
     if pad:
         def padk(x):
             return jnp.concatenate([x, jnp.broadcast_to(x[:1], (pad,) + x.shape[1:])])
 
         pose, point, focal, feat, k1, k2 = map(padk, (pose, point, focal, feat, k1, k2))
     kp = k + pad
+    kf = kp // fold
+    lanes = fold * b
 
-    def soa(x):  # (K, B, *s) -> (K, prod(s), B)
-        flat = x.reshape(kp, b, -1)
-        return jnp.moveaxis(flat, -1, 1)
+    def soa(x):  # (K, B, *s) -> (K/fold, prod(s), fold*B)
+        flat = x.reshape(kf, fold, b, -1)
+        return jnp.transpose(flat, (0, 3, 1, 2)).reshape(kf, flat.shape[-1], lanes)
 
-    grid = (kp // block_edges,)
+    def unfold(y, rows):  # (K/fold, rows, fold*B) -> (K, rows, B)
+        y = y.reshape(kf, rows, fold, b)
+        return jnp.transpose(y, (0, 2, 1, 3)).reshape(kp, rows, b)
+
+    grid = (kf // block_edges,)
 
     def spec(rows):
         return pl.BlockSpec(
-            (block_edges, rows, b), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (block_edges, rows, lanes), lambda i: (i, 0, 0),
+            memory_space=pltpu.VMEM
         )
 
     jpose, jpt, err = pl.pallas_call(
@@ -155,13 +171,14 @@ def _run_kernel(pose, point, focal, feat, k1, k2, block_edges, interpret):
         in_specs=[spec(12), spec(3), spec(1), spec(2), spec(1), spec(1)],
         out_specs=(spec(12), spec(6), spec(2)),
         out_shape=(
-            jax.ShapeDtypeStruct((kp, 12, b), pose.dtype),
-            jax.ShapeDtypeStruct((kp, 6, b), pose.dtype),
-            jax.ShapeDtypeStruct((kp, 2, b), pose.dtype),
+            jax.ShapeDtypeStruct((kf, 12, lanes), pose.dtype),
+            jax.ShapeDtypeStruct((kf, 6, lanes), pose.dtype),
+            jax.ShapeDtypeStruct((kf, 2, lanes), pose.dtype),
         ),
         interpret=interpret,
     )(soa(pose), soa(point), soa(focal), soa(feat), soa(k1), soa(k2))
 
+    jpose, jpt, err = (unfold(jpose, 12), unfold(jpt, 6), unfold(err, 2))
     return (
         jnp.moveaxis(jpose, 1, -1)[:k].reshape(k, b, 2, 6),
         jnp.moveaxis(jpt, 1, -1)[:k].reshape(k, b, 2, 3),
