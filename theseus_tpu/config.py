@@ -239,6 +239,21 @@ def set_pallas_whole(enabled: bool) -> None:
     PALLAS_WHOLE = bool(enabled)
 
 
+# Lane folding in the fused linearization kernels (ops/pallas_between_soa.py,
+# ops/pallas_reprojection.py): at batch < 128 Mosaic pads the lane axis to
+# 128, inflating every operand/output 128/b x in HBM (the BA 256x8000
+# batch-1 linearization requested 19.96 GB and OOM'd the chip). Folding
+# 128/b consecutive edges/observations into one lane block removes the
+# padding bit-identically at the cost of two XLA transposes around the
+# kernel. True = fold whenever 128 % b == 0; False = r4 padded layout.
+PALLAS_LANE_FOLD = True
+
+
+def set_pallas_lane_fold(enabled: bool) -> None:
+    global PALLAS_LANE_FOLD
+    PALLAS_LANE_FOLD = bool(enabled)
+
+
 # Level-RUN scanning (sparse/cholesky.py): consecutive etree levels whose
 # padded tables are shape-compatible (within LEVEL_RUN_WASTE x the exact
 # gather volume) are stacked and executed by ONE lax.scan body instead of

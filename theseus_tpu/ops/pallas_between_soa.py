@@ -287,7 +287,10 @@ def _between_linearize_kernel(v1, v2, meas, block_edges: int = 4,
     # mostly-masked lanes. Each lane is an independent (edge, batch) pair,
     # so fold = 128//b consecutive edges share one lane block instead;
     # element-wise arithmetic is bit-identical.
-    fold = 128 // b if (b < 128 and 128 % b == 0) else 1
+    from .. import config as _config
+    fold = (128 // b
+            if (_config.PALLAS_LANE_FOLD and b < 128 and 128 % b == 0)
+            else 1)
     quantum = block_edges * fold
     pad = (-k) % quantum
     if pad:

@@ -137,7 +137,10 @@ def _run_kernel(pose, point, focal, feat, k1, k2, block_edges, interpret):
     # batch-element) pair, so when b < 128 we fold `fold` consecutive
     # observations into one lane block instead; element-wise arithmetic is
     # bit-identical, only the lane placement changes.
-    fold = 128 // b if (b < 128 and 128 % b == 0) else 1
+    from .. import config as _config
+    fold = (128 // b
+            if (_config.PALLAS_LANE_FOLD and b < 128 and 128 % b == 0)
+            else 1)
     quantum = block_edges * fold
     pad = (-k) % quantum
     if pad:
