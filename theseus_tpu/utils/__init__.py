@@ -7,4 +7,5 @@ from .checks import (
     numeric_jacobian,
 )
 from .hoist import hoist_jit
+from .host import local_cpu, on_host, to_device
 from .timer import Profiler, Timer, fresh_eps

@@ -184,11 +184,32 @@ class _CompiledShim:
         return self._compiled.memory_analysis()
 
 
+def _local_cpu():
+    from .host import local_cpu
+
+    return local_cpu()
+
+
 def _build(fn, args, flat, treedef, min_bytes) -> _Entry:
     def flat_fn(*leaves):
         return fn(*tree_util.tree_unflatten(treedef, leaves))
 
-    closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat)
+    # Trace with the LOCAL CPU as the default device: the solver builds its
+    # symbolic tables with jnp.asarray at trace time, and each such concrete
+    # constant otherwise lands on the session's default device. Under the
+    # axon remote plugin that is one tunnel round-trip per table (~4 s each,
+    # measured 2026-08-20) — pinning the trace to local CPU cut the
+    # sphere2500 lower() from 36.6 s to host-speed (see BENCH_SWEEP.md
+    # first-call decomposition). Abstract tracing itself is device-agnostic,
+    # so the emitted jaxpr is identical.
+    cpu = _local_cpu()
+    if cpu is not None:
+        with jax.default_device(cpu):
+            closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(
+                *flat
+            )
+    else:
+        closed, out_shape = jax.make_jaxpr(flat_fn, return_shape=True)(*flat)
     out_tree = tree_util.tree_structure(out_shape)
     consts = list(closed.consts)
 
@@ -200,16 +221,20 @@ def _build(fn, args, flat, treedef, min_bytes) -> _Entry:
     for c in consts:
         a = np.asarray(c)
         if a.nbytes < min_bytes:
-            spec.append(("baked", c))
+            # numpy, not a (possibly CPU-committed) jax.Array: embeds as a
+            # plain literal in the converted jaxpr with no device affinity
+            spec.append(("baked", a))
             continue
         k = _content_key(a)
         idx = uniq.get(k)
         if idx is None:
             idx = len(hoisted_arrays)
             uniq[k] = idx
-            hoisted_arrays.append(jnp.asarray(c))
+            hoisted_arrays.append(a)
         spec.append(("hoisted", idx))
-    hoisted = tuple(hoisted_arrays)
+    # one batched upload of the deduped tables to the session's default
+    # device (per-array jnp.asarray would be one tunnel RPC each under axon)
+    hoisted = tuple(jax.device_put(hoisted_arrays))
 
     jaxpr = closed.jaxpr
 
